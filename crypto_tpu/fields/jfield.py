@@ -132,20 +132,25 @@ class JField:
     # ------------------------------------------------------------------
 
     def _carry_norm(self, x: jnp.ndarray, out_len: int) -> jnp.ndarray:
-        """Sequential carry propagation; x has nonneg int32 limbs (< 2^30).
-        Returns (..., out_len) with 15-bit limbs; overflow beyond out_len is
-        dropped (callers guarantee none, except mod-R truncation)."""
+        """Carry propagation via lax.scan over the limb axis (keeps the XLA
+        graph O(1) in L — critical for compile times when composed into curve
+        formulas).  x has nonneg int32 limbs (< 2^30).  Returns (..., out_len)
+        15-bit limbs; overflow beyond out_len is dropped (callers guarantee
+        none, except deliberate mod-R truncation)."""
         K = x.shape[-1]
-        limbs = []
-        c = jnp.zeros_like(x[..., 0])
-        for i in range(min(K, out_len)):
-            v = x[..., i] + c
-            limbs.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        for i in range(K, out_len):
-            limbs.append(c & LIMB_MASK)
-            c = c >> LIMB_BITS
-        return jnp.stack(limbs, axis=-1)
+        if K < out_len:  # pad so carries can spill into the extra limbs
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (out_len - K,), dtype=x.dtype)], axis=-1)
+        elif out_len < K:
+            x = x[..., :out_len]
+        xt = jnp.moveaxis(x, -1, 0)  # (out_len, ...)
+
+        def body(c, v):
+            v = v + c
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        _, limbs = jax.lax.scan(body, jnp.zeros_like(xt[0]), xt)
+        return jnp.moveaxis(limbs, 0, -1)
 
     def _wide_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Full product as UNnormalized base-2^15 columns: (..., 2L) int32,
@@ -165,15 +170,16 @@ class JField:
         return lo + hi_shifted
 
     def _sub_limbs(self, a: jnp.ndarray, b: jnp.ndarray):
-        """a - b limbwise with borrow chain. Returns (diff, borrow_mask)."""
-        K = a.shape[-1]
-        limbs = []
-        borrow = jnp.zeros_like(a[..., 0])
-        for i in range(K):
-            v = a[..., i] - (b[..., i] if b.ndim > 0 else 0) - borrow
-            limbs.append(v & LIMB_MASK)
-            borrow = (v < 0).astype(jnp.int32)
-        return jnp.stack(limbs, axis=-1), borrow.astype(bool)
+        """a - b limbwise with borrow chain (lax.scan over limbs).
+        Returns (diff, borrow_mask)."""
+        d = jnp.moveaxis(a - b, -1, 0)
+
+        def body(borrow, v):
+            v = v - borrow
+            return (v < 0).astype(jnp.int32), v & LIMB_MASK
+
+        borrow, limbs = jax.lax.scan(body, jnp.zeros_like(d[0]), d)
+        return jnp.moveaxis(limbs, 0, -1), borrow.astype(bool)
 
     def _cond_sub_p(self, x: jnp.ndarray) -> jnp.ndarray:
         """x in [0, 2p) possibly with one extra limb; reduce to [0, p)."""
