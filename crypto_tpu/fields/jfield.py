@@ -35,6 +35,25 @@ from .host import Field
 LIMB_BITS = 15
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
+_CARRY_MODE = None  # "ks" | "scan" | None (auto by backend)
+
+
+def set_carry_mode(mode: str | None) -> None:
+    """Force the carry-propagation implementation: "ks" (flat log-depth
+    Kogge-Stone — fast at runtime on TPU, large graphs) or "scan"
+    (lax.scan chains — small graphs, fast compiles on CPU).  None = auto:
+    ks on tpu-like backends, scan on cpu.  Must be set before tracing."""
+    global _CARRY_MODE
+    _CARRY_MODE = mode
+
+
+def _use_flat_carries() -> bool:
+    import os
+    mode = _CARRY_MODE or os.environ.get("CRYPTO_TPU_CARRY")
+    if mode:
+        return mode == "ks"
+    return jax.default_backend() != "cpu"
+
 
 def int_to_limbs(v: int, L: int) -> np.ndarray:
     out = np.zeros(L, dtype=np.int32)
@@ -131,19 +150,29 @@ class JField:
     # limb helpers
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
+        """Shift limbs toward higher significance by k positions (zeros in)."""
+        if k == 0:
+            return x
+        return jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (k,), dtype=x.dtype), x[..., :-k]], axis=-1)
+
     def _carry_norm(self, x: jnp.ndarray, out_len: int) -> jnp.ndarray:
-        """Carry propagation via lax.scan over the limb axis (keeps the XLA
-        graph O(1) in L — critical for compile times when composed into curve
-        formulas).  x has nonneg int32 limbs (< 2^30).  Returns (..., out_len)
-        15-bit limbs; overflow beyond out_len is dropped (callers guarantee
-        none, except deliberate mod-R truncation)."""
+        if _use_flat_carries():
+            return self._carry_norm_ks(x, out_len)
+        return self._carry_norm_scan(x, out_len)
+
+    def _carry_norm_scan(self, x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+        """lax.scan carry chain — tiny XLA graph, sequential at runtime.
+        Used on CPU where compile time dominates (tests)."""
         K = x.shape[-1]
-        if K < out_len:  # pad so carries can spill into the extra limbs
+        if K < out_len:
             x = jnp.concatenate(
                 [x, jnp.zeros(x.shape[:-1] + (out_len - K,), dtype=x.dtype)], axis=-1)
         elif out_len < K:
             x = x[..., :out_len]
-        xt = jnp.moveaxis(x, -1, 0)  # (out_len, ...)
+        xt = jnp.moveaxis(x, -1, 0)
 
         def body(c, v):
             v = v + c
@@ -151,6 +180,42 @@ class JField:
 
         _, limbs = jax.lax.scan(body, jnp.zeros_like(xt[0]), xt)
         return jnp.moveaxis(limbs, 0, -1)
+
+    def _carry_norm_ks(self, x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+        """EXACT carry propagation in O(log L) parallel steps (no scans —
+        sequential scans of tiny bodies are pathologically slow on TPU and
+        bloat graphs).  x has nonneg int32 limbs (< 2^31).  Returns
+        (..., out_len) 15-bit limbs; overflow beyond out_len is dropped
+        (callers guarantee none, except deliberate mod-R truncation).
+
+        Method: two relaxation rounds bring every limb into [0, 2^15]; the
+        residual overflow bits (each 0/1, plus-one into the next limb) are
+        then added with Kogge-Stone generate/propagate prefix carries."""
+        K = x.shape[-1]
+        if K < out_len:  # pad so carries can spill into the extra limbs
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (out_len - K,), dtype=x.dtype)], axis=-1)
+        elif out_len < K:
+            x = x[..., :out_len]
+        # relaxation: v_i <- (v_i & M) + (v_{i-1} >> 15); after two rounds
+        # every limb is in [0, 2^15] (carries in round 2 are <= 2^6, round 3
+        # residue is a single bit captured below).
+        x = (x & LIMB_MASK) + self._shift_up(x >> LIMB_BITS, 1)
+        x = (x & LIMB_MASK) + self._shift_up(x >> LIMB_BITS, 1)
+        a = x & LIMB_MASK
+        w = self._shift_up(x >> LIMB_BITS, 1)        # 0/1 plus-one vector
+        s = a + w                                     # <= 2^15
+        g = (s >> LIMB_BITS).astype(jnp.int32)        # generate (s == 2^15)
+        p = (s == LIMB_MASK).astype(jnp.int32)        # propagate
+        # Kogge-Stone prefix: carry into limb i = OR over j<i of g_j & AND p's
+        step = 1
+        n = s.shape[-1]
+        while step < n:
+            g = g | (p & self._shift_up(g, step))
+            p = p & self._shift_up(p, step)
+            step <<= 1
+        carry_in = self._shift_up(g, 1)
+        return (s + carry_in) & LIMB_MASK
 
     def _wide_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Full product as UNnormalized base-2^15 columns: (..., 2L) int32,
@@ -170,8 +235,11 @@ class JField:
         return lo + hi_shifted
 
     def _sub_limbs(self, a: jnp.ndarray, b: jnp.ndarray):
-        """a - b limbwise with borrow chain (lax.scan over limbs).
-        Returns (diff, borrow_mask)."""
+        if _use_flat_carries():
+            return self._sub_limbs_ks(a, b)
+        return self._sub_limbs_scan(a, b)
+
+    def _sub_limbs_scan(self, a: jnp.ndarray, b: jnp.ndarray):
         d = jnp.moveaxis(a - b, -1, 0)
 
         def body(borrow, v):
@@ -180,6 +248,24 @@ class JField:
 
         borrow, limbs = jax.lax.scan(body, jnp.zeros_like(d[0]), d)
         return jnp.moveaxis(limbs, 0, -1), borrow.astype(bool)
+
+    def _sub_limbs_ks(self, a: jnp.ndarray, b: jnp.ndarray):
+        """a - b limbwise with log-depth parallel-prefix borrows.
+        Inputs are normalized 15-bit limbs.  Returns (diff, borrow_mask)."""
+        d = a - b                                     # in (-2^15, 2^15)
+        g = (d < 0).astype(jnp.int32)                 # generate borrow
+        p = (d == 0).astype(jnp.int32)                # propagate borrow
+        gg, pp = g, p
+        step = 1
+        n = d.shape[-1]
+        while step < n:
+            gg = gg | (pp & self._shift_up(gg, step))
+            pp = pp & self._shift_up(pp, step)
+            step <<= 1
+        borrow_in = self._shift_up(gg, 1)
+        out = (d - borrow_in) & LIMB_MASK
+        # gg already folds borrow-ins from below: top entry = overall borrow
+        return out, gg[..., -1].astype(bool)
 
     def _cond_sub_p(self, x: jnp.ndarray) -> jnp.ndarray:
         """x in [0, 2p) possibly with one extra limb; reduce to [0, p)."""

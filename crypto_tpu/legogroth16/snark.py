@@ -1,0 +1,332 @@
+"""LegoGroth16 cc-SNARK: Groth16 with a Pedersen commitment to a prefix of
+the witnesses (reference `legogroth16/src/{generator,prover,verifier}.rs`,
+`data_structures.rs`).
+
+CRS (trapdoors alpha, beta, gamma, delta, eta, tau):
+  vk:  alpha*G1, beta*G2, gamma*G2, delta*G2,
+       gamma_abc[i] = (beta*a_i + alpha*b_i + c_i)/gamma  for publics AND the
+       `commit_witness_count` committed witnesses, eta/gamma * G1
+  pk:  beta*G1, delta*G1, eta/delta * G1, per-variable a/b queries,
+       h_query[i] = (Z(tau)/delta) tau^i * G1, l_query = remaining-witness
+       (beta*a+alpha*b+c)/delta * G1
+
+Prove (r, s, v random; v = commitment randomness):
+  h = QAP witness map  (iFFT x3, coset FFT x3, pointwise, coset iFFT —
+      runs on the device NTT; `r1cs_to_qap.rs:150-209`)
+  A = alpha + delta*r + sum a_i z_i
+  B = beta + delta*s + sum b_i z_i           (G2; also G1 copy for C)
+  C = A*s + B1*r - rs*delta + <l_query, uncommitted> + <h_query, h>
+      - v * eta/delta
+  D = <gamma_abc[committed slots], committed wits> + v * eta/gamma
+
+Verify: e(A, B) == e(alpha,beta) * e(inputs_acc + D, gamma) * e(C, delta).
+
+Hot paths (the BASELINE.json north-star workload): the 7 NTTs and the 4-5
+MSMs route to `crypto_tpu.ops.{ntt,msm}` device kernels above a size
+threshold, host Pippenger below it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..curves import bls12_381 as bls
+from ..curves.sw import Point
+from ..fields.host import Fp
+from ..r1cs.cs import ConstraintSystem, SynthesisError, evaluate_row
+from ..utils.msm import msm as msm_host, multiply_field_elems_with_same_group_elem
+from ..ops.ntt import domain_for
+
+F = bls.Fr
+DEVICE_MSM_THRESHOLD = 2048
+
+
+class LegoGroth16Error(Exception):
+    pass
+
+
+def _msm(points, scalars):
+    if len(points) >= DEVICE_MSM_THRESHOLD:
+        from ..ops.msm import msm_device
+        return msm_device(bls.G1, points, [int(s) for s in scalars])
+    return msm_host(points, scalars)
+
+
+def _fixed_base_many(base: Point, scalars) -> list[Point]:
+    return multiply_field_elems_with_same_group_elem(base, scalars)
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: Point
+    beta_g2: Point
+    gamma_g2: Point
+    delta_g2: Point
+    gamma_abc_g1: list
+    eta_gamma_inv_g1: Point
+    commit_witness_count: int
+
+    @property
+    def num_public_inputs(self) -> int:
+        return len(self.gamma_abc_g1) - self.commit_witness_count
+
+    def get_commitment_key_for_witnesses(self) -> list:
+        start = self.num_public_inputs
+        return self.gamma_abc_g1[start:start + self.commit_witness_count] + \
+            [self.eta_gamma_inv_g1]
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: Point
+    delta_g1: Point
+    eta_delta_inv_g1: Point
+    a_query: list
+    b_g1_query: list
+    b_g2_query: list
+    h_query: list
+    l_query: list
+
+
+@dataclass
+class Proof:
+    a: Point
+    b: Point
+    c: Point
+    d: Point
+
+
+@dataclass
+class PreparedVerifyingKey:
+    vk: VerifyingKey
+    alpha_beta: object  # GT element
+
+    @classmethod
+    def from_vk(cls, vk: VerifyingKey) -> "PreparedVerifyingKey":
+        return cls(vk=vk, alpha_beta=bls.pairing(vk.alpha_g1, vk.beta_g2))
+
+
+def _lagrange_coeffs_at(domain, t: int) -> list[int]:
+    """l_i(t) for radix-2 domain: Z(t)/N * w^i / (t - w^i)."""
+    p = F.p
+    N = domain.n
+    zt = (pow(t, N, p) - 1) % p
+    if zt == 0:
+        raise LegoGroth16Error("tau landed inside the domain")
+    w = domain.w
+    zt_over_n = zt * pow(N, -1, p) % p
+    # batch invert (t - w^i)
+    wi = 1
+    denoms = []
+    ws = []
+    for i in range(N):
+        ws.append(wi)
+        denoms.append((t - wi) % p)
+        wi = wi * w % p
+    # Montgomery batch inversion
+    prefix = [1] * N
+    acc = 1
+    for i, d in enumerate(denoms):
+        prefix[i] = acc
+        acc = acc * d % p
+    inv = pow(acc, -1, p)
+    out = [0] * N
+    for i in range(N - 1, -1, -1):
+        out[i] = zt_over_n * ws[i] % p * (prefix[i] * inv % p) % p
+        inv = inv * denoms[i] % p
+    return out
+
+
+def generate_random_parameters(circuit, commit_witness_count: int, rng) -> ProvingKey:
+    """CRS generation (`generator.rs:230-440`)."""
+    cs = ConstraintSystem(F, mode="setup")
+    circuit(cs)
+
+    num_inst = cs.num_instance
+    num_wit = cs.num_witness
+    if num_wit < commit_witness_count:
+        raise LegoGroth16Error("insufficient witnesses for commitment")
+    nc = cs.num_constraints
+    domain = domain_for(F, 1 << max(1, (nc + num_inst - 1).bit_length()))
+    N = domain.n
+
+    alpha, beta, gamma, delta, eta = (F.rand(rng) for _ in range(5))
+    while True:
+        t = F.rand(rng)
+        if (pow(int(t), N, F.p) - 1) % F.p != 0:
+            break
+
+    u = _lagrange_coeffs_at(domain, int(t))
+    zt = (pow(int(t), N, F.p) - 1) % F.p
+
+    nvars = num_inst + num_wit
+    p = F.p
+    a = [0] * nvars
+    b = [0] * nvars
+    c = [0] * nvars
+    for i in range(nc):
+        ui = u[i]
+        for coeff, idx in cs.a_rows[i]:
+            a[idx] = (a[idx] + ui * coeff) % p
+        for coeff, idx in cs.b_rows[i]:
+            b[idx] = (b[idx] + ui * coeff) % p
+        for coeff, idx in cs.c_rows[i]:
+            c[idx] = (c[idx] + ui * coeff) % p
+    for j in range(num_inst):
+        a[j] = (a[j] + u[nc + j]) % p
+
+    gamma_inv = pow(int(gamma), -1, p)
+    delta_inv = pow(int(delta), -1, p)
+    n_commit = num_inst + commit_witness_count
+    gamma_abc = [(int(beta) * a[i] + int(alpha) * b[i] + c[i]) * gamma_inv % p
+                 for i in range(n_commit)]
+    l = [(int(beta) * a[i] + int(alpha) * b[i] + c[i]) * delta_inv % p
+         for i in range(nvars)]
+
+    g1 = bls.G1.generator()
+    g2 = bls.G2.generator()
+
+    a_query = _fixed_base_many(g1, [F(x) for x in a])
+    b_g1_query = _fixed_base_many(g1, [F(x) for x in b])
+    b_g2_query = _fixed_base_many(g2, [F(x) for x in b])
+    zt_delta_inv = zt * delta_inv % p
+    h_scalars = []
+    ti = 1
+    for i in range(N - 1):
+        h_scalars.append(F(zt_delta_inv * ti % p))
+        ti = ti * int(t) % p
+    h_query = _fixed_base_many(g1, h_scalars)
+    l_query = _fixed_base_many(g1, [F(x) for x in l[n_commit:]])
+    gamma_abc_g1 = _fixed_base_many(g1, [F(x) for x in gamma_abc])
+
+    vk = VerifyingKey(
+        alpha_g1=(g1 * int(alpha)).normalize(),
+        beta_g2=(g2 * int(beta)).normalize(),
+        gamma_g2=(g2 * int(gamma)).normalize(),
+        delta_g2=(g2 * int(delta)).normalize(),
+        gamma_abc_g1=[q.normalize() for q in gamma_abc_g1],
+        eta_gamma_inv_g1=(g1 * (int(eta) * gamma_inv % p)).normalize(),
+        commit_witness_count=commit_witness_count,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=(g1 * int(beta)).normalize(),
+        delta_g1=(g1 * int(delta)).normalize(),
+        eta_delta_inv_g1=(g1 * (int(eta) * delta_inv % p)).normalize(),
+        a_query=[q.normalize() for q in a_query],
+        b_g1_query=[q.normalize() for q in b_g1_query],
+        b_g2_query=[q.normalize() for q in b_g2_query],
+        h_query=[q.normalize() for q in h_query],
+        l_query=[q.normalize() for q in l_query],
+    )
+
+
+def witness_map(cs: ConstraintSystem) -> list[int]:
+    """QAP witness map -> h coefficients (device NTTs;
+    `r1cs_to_qap.rs:150-209`)."""
+    p = F.p
+    z = [int(v) for v in cs.full_assignment()]
+    nc = cs.num_constraints
+    num_inst = cs.num_instance
+    domain = domain_for(F, 1 << max(1, (nc + num_inst - 1).bit_length()))
+    N = domain.n
+    a = [0] * N
+    b = [0] * N
+    c = [0] * N
+    for i in range(nc):
+        a[i] = evaluate_row(cs.a_rows[i], z, p)
+        b[i] = evaluate_row(cs.b_rows[i], z, p)
+        c[i] = evaluate_row(cs.c_rows[i], z, p)
+    for j in range(num_inst):
+        a[nc + j] = z[j]
+
+    J = domain.J
+    pa, pb, pc = J.pack(a), J.pack(b), J.pack(c)
+    ca = domain.coset_ntt(domain.intt(pa))
+    cb = domain.coset_ntt(domain.intt(pb))
+    cc = domain.coset_ntt(domain.intt(pc))
+    ab = J.mul(ca, cb)
+    ab = J.sub(ab, cc)
+    zinv = pow(domain.z_on_coset(), -1, p)
+    ab = J.mul(ab, J.pack([zinv])[0])
+    h = domain.coset_intt(ab)
+    import numpy as np
+    return [int(v) for v in np.atleast_1d(J.unpack(h))]
+
+
+def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
+    """Returns (Proof, v) — v is the commitment randomness the caller needs
+    to open D (`prover.rs:32-120`)."""
+    cs = ConstraintSystem(F, mode="prove")
+    circuit(cs)
+    if not cs.is_satisfied():
+        raise LegoGroth16Error("constraints unsatisfied")
+
+    r, s = F.rand(rng), F.rand(rng)
+    if v is None:
+        v = F.rand(rng)
+    h = witness_map(cs)
+
+    vk = pk.vk
+    cwc = vk.commit_witness_count
+    inst = [int(x) for x in cs.instance_assignment]
+    wits = [int(x) for x in cs.witness_assignment]
+    assignment = inst[1:] + wits  # all vars except the leading ONE
+
+    h_acc = _msm(pk.h_query, [F(x) for x in h[:len(pk.h_query)]])
+    l_acc = _msm(pk.l_query, [F(x) for x in wits[cwc:]]) \
+        if pk.l_query else bls.G1.infinity()
+
+    def calculate_coeff(initial, query, vk_param):
+        acc = initial + query[0]
+        if assignment and len(query) > 1:
+            acc = acc + _msm(query[1:], [F(x) for x in assignment])
+        return acc + vk_param
+
+    g_a = calculate_coeff(pk.delta_g1 * int(r), pk.a_query, vk.alpha_g1)
+    g1_b = calculate_coeff(pk.delta_g1 * int(s), pk.b_g1_query, pk.beta_g1)
+    g2_b = calculate_coeff(vk.delta_g2 * int(s), pk.b_g2_query, vk.beta_g2)
+
+    g_c = g_a * int(s) + g1_b * int(r) - pk.delta_g1 * (int(r) * int(s) % F.p) \
+        + l_acc + h_acc - pk.eta_delta_inv_g1 * int(v)
+
+    committed = wits[:cwc]
+    n_pub = vk.num_public_inputs
+    g_d = bls.G1.infinity()
+    if committed:
+        g_d = _msm(vk.gamma_abc_g1[n_pub:n_pub + cwc], [F(x) for x in committed])
+    g_d = g_d + vk.eta_gamma_inv_g1 * int(v)
+
+    proof = Proof(a=g_a.normalize(), b=g2_b.normalize(),
+                  c=g_c.normalize(), d=g_d.normalize())
+    return proof, v, [F(x) for x in committed]
+
+
+def prepare_inputs(vk: VerifyingKey, public_inputs) -> Point:
+    inp = [F(1)] + [F(int(x)) for x in public_inputs]
+    if len(inp) > vk.num_public_inputs:
+        raise LegoGroth16Error("too many public inputs")
+    return msm_host(vk.gamma_abc_g1[:len(inp)], inp)
+
+
+def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs) -> bool:
+    """3-pairing check (`verifier.rs:64-110`)."""
+    vk = pvk.vk
+    d = (prepare_inputs(vk, public_inputs) + proof.d).normalize()
+    neg_delta = (-vk.delta_g2).normalize()
+    neg_gamma = (-vk.gamma_g2).normalize()
+    lhs = bls.multi_pairing([
+        (proof.a, proof.b), (proof.c, neg_delta), (d, neg_gamma)])
+    return lhs == pvk.alpha_beta
+
+
+def verify_commitment(vk: VerifyingKey, proof: Proof, public_inputs,
+                      committed_witnesses, v: Fp) -> bool:
+    """Open D: D == sum gamma_abc[committed]*w_i + v*eta/gamma
+    (`verifier.rs` verify_commitment / `prover.rs` D construction)."""
+    n_pub = vk.num_public_inputs
+    bases = vk.gamma_abc_g1[n_pub:n_pub + len(committed_witnesses)]
+    expect = msm_host(bases + [vk.eta_gamma_inv_g1],
+                      list(committed_witnesses) + [v])
+    return expect == proof.d

@@ -121,15 +121,18 @@ def _tree_sum_axis0(jc: JCurve, p: JPoints) -> JPoints:
 
 
 def weighted_reduce(jc: JCurve, buckets: JPoints, nbuckets: int) -> JPoints:
-    """sum_b b * B_b over dense buckets, via b = q*C + c split."""
+    """sum_b b * B_b over dense buckets, via b = q*C + c split:
+    sum = C * sum_q q*S_q + sum_c c*T_c.  Each weighted sum over n points
+    uses bit-decomposition of the index — log2(n) masked tree reductions
+    done simultaneously (all-batched, log-depth; no sequential point adds)."""
     logB = nbuckets.bit_length() - 1
     assert (1 << logB) == nbuckets
     logC = (logB + 1) // 2
     C = 1 << logC
     R = nbuckets // C
 
-    def weighted_suffix(points: JPoints) -> JPoints:
-        """sum_i i * P_i via suffix scan (sequential, i from high to low)."""
+    def weighted_sum_scan(points: JPoints, n: int) -> JPoints:
+        """sum_i i * P_i via sequential suffix scan (small graph; CPU path)."""
         def body(carry, p):
             running, acc = carry
             running = jc.add(running, p)
@@ -141,14 +144,46 @@ def weighted_reduce(jc: JCurve, buckets: JPoints, nbuckets: int) -> JPoints:
         (_, acc), _ = jax.lax.scan(body, init, rev)
         return acc
 
+    def weighted_sum(points: JPoints, n: int) -> JPoints:
+        """sum_i i * P_i = sum_b 2^b * (sum_{i: bit b of i} P_i).
+        Log-depth (TPU path); falls back to the scan form on CPU where
+        compile time dominates."""
+        from ..fields.jfield import _use_flat_carries
+        if not _use_flat_carries():
+            return weighted_sum_scan(points, n)
+        nbits = (n - 1).bit_length()
+        idx = jnp.arange(n, dtype=jnp.int32)
+        masks = ((idx[None, :] >> jnp.arange(nbits, dtype=jnp.int32)[:, None]) & 1) > 0
+        inf = jc.infinity((nbits, n))
+        stacked = JPoints(jnp.broadcast_to(points.X[None], (nbits,) + points.X.shape),
+                          jnp.broadcast_to(points.Y[None], (nbits,) + points.Y.shape),
+                          jnp.broadcast_to(points.Z[None], (nbits,) + points.Z.shape))
+        masked = jc.select(masks, stacked, inf)          # (nbits, n)
+        # tree-reduce over axis 1
+        m = n
+        p = masked
+        while m > 1:
+            half = m // 2
+            a = JPoints(p.X[:, :half], p.Y[:, :half], p.Z[:, :half])
+            b = JPoints(p.X[:, half:m], p.Y[:, half:m], p.Z[:, half:m])
+            p = jc.add(a, b)
+            m = half
+        bitsums = JPoints(p.X[:, 0], p.Y[:, 0], p.Z[:, 0])  # (nbits,)
+        # Horner over bits: acc = 2*acc + S_b from high to low
+        acc = JPoints(bitsums.X[nbits - 1], bitsums.Y[nbits - 1], bitsums.Z[nbits - 1])
+        for bpos in range(nbits - 2, -1, -1):
+            acc = jc.double(acc)
+            acc = jc.add(acc, JPoints(bitsums.X[bpos], bitsums.Y[bpos], bitsums.Z[bpos]))
+        return acc
+
     grid = JPoints(buckets.X.reshape(R, C, -1),
                    buckets.Y.reshape(R, C, -1),
                    buckets.Z.reshape(R, C, -1))
     Sq = _tree_sum_axis0(jc, JPoints(grid.X.swapaxes(0, 1), grid.Y.swapaxes(0, 1),
                                      grid.Z.swapaxes(0, 1)))  # (R,): summed over c
     Tc = _tree_sum_axis0(jc, grid)                            # (C,): summed over q
-    part_q = weighted_suffix(Sq)
-    part_c = weighted_suffix(Tc)
+    part_q = weighted_sum(Sq, R)
+    part_c = weighted_sum(Tc, C)
     for _ in range(logC):
         part_q = jc.double(part_q)
     return jc.add(part_q, part_c)
