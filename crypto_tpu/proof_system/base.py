@@ -1,0 +1,112 @@
+"""Composite proof system core types (reference `proof_system/src/`).
+
+A `ProofSpec` is a list of `Statement`s plus `MetaStatement`s (cross-statement
+witness equalities) and optional shared `SetupParams`.  Proof creation runs
+every statement's sigma sub-protocol under ONE merlin transcript; equality of
+witnesses across statements is enforced by sharing the Schnorr blinding per
+equivalence class, making the responses equal (Chaum-Pedersen style,
+reference `proof_system/src/lib.rs:25-33`).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from ..curves import bls12_381 as bls
+from ..fields.host import Fp
+from ..serialize import ByteWriter
+
+F = bls.Fr
+
+COMPOSITE_PROOF_LABEL = b"composite-proof"
+COMPOSITE_PROOF_CHALLENGE_LABEL = b"composite-proof-challenge"
+NONCE_LABEL = b"nonce"
+CONTEXT_LABEL = b"context"
+
+
+class ProofSystemError(Exception):
+    pass
+
+
+class Statement(ABC):
+    """A single relation; knows how to build its prover-side sub-protocol and
+    how to verify its statement proof."""
+
+    @abstractmethod
+    def init_subprotocol(self, rng, blindings: dict, witness):
+        """-> sub-protocol object with challenge_contribution/gen_proof.
+        `blindings`: {witness_index: Fp} for externally-forced blindings
+        (shared equivalence classes)."""
+
+    @abstractmethod
+    def proof_challenge_contribution(self, proof, writer: ByteWriter):
+        """Append the verifier-side challenge contribution of `proof`."""
+
+    @abstractmethod
+    def verify_proof(self, proof, challenge: Fp, pairing_checker=None):
+        """Raises ProofSystemError on failure."""
+
+    @abstractmethod
+    def response_for_witness(self, proof, wit_idx: int) -> Fp:
+        """Schnorr response for witness `wit_idx` (for equality checks)."""
+
+
+@dataclass(frozen=True)
+class WitnessRef:
+    statement: int
+    witness: int
+
+
+@dataclass
+class EqualWitnesses:
+    refs: set  # set[WitnessRef]
+
+
+@dataclass
+class MetaStatements:
+    equalities: list = dc_field(default_factory=list)
+
+    def add_witness_equality(self, refs) -> None:
+        self.equalities.append(EqualWitnesses(
+            {r if isinstance(r, WitnessRef) else WitnessRef(*r) for r in refs}))
+
+    def disjoint_witness_equalities(self) -> list[set]:
+        """Union-find merge of overlapping equality sets
+        (`meta_statement.rs` disjoint_witness_equalities)."""
+        classes: list[set] = []
+        for eq in self.equalities:
+            merged = set(eq.refs)
+            keep = []
+            for cls in classes:
+                if cls & merged:
+                    merged |= cls
+                else:
+                    keep.append(cls)
+            keep.append(merged)
+            classes = keep
+        return classes
+
+
+@dataclass
+class ProofSpec:
+    statements: list = dc_field(default_factory=list)
+    meta_statements: MetaStatements = dc_field(default_factory=MetaStatements)
+    context: Optional[bytes] = None
+
+    def add_statement(self, stmt: Statement) -> int:
+        self.statements.append(stmt)
+        return len(self.statements) - 1
+
+    def add_witness_equality(self, refs) -> None:
+        self.meta_statements.add_witness_equality(refs)
+
+    def validate(self) -> None:
+        n = len(self.statements)
+        for eq in self.meta_statements.equalities:
+            if len(eq.refs) < 2:
+                raise ProofSystemError("equality needs at least 2 references")
+            for r in eq.refs:
+                if r.statement >= n:
+                    raise ProofSystemError("statement index out of bounds")

@@ -1,0 +1,125 @@
+"""Composite proof creation and verification
+(reference `proof_system/src/{prover,verifier}.rs`, SURVEY.md §3.1-3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from ..curves import bls12_381 as bls
+from ..fields.host import Fp
+from ..serialize import ByteWriter
+from ..transcript.transcript import Transcript
+from ..utils.checkers import RandomizedPairingChecker
+from .base import (ProofSpec, ProofSystemError, WitnessRef,
+                   COMPOSITE_PROOF_LABEL, COMPOSITE_PROOF_CHALLENGE_LABEL,
+                   NONCE_LABEL, CONTEXT_LABEL)
+
+F = bls.Fr
+
+
+@dataclass
+class VerifierConfig:
+    """`verifier.rs:72-76`: enable the shared randomized pairing checker."""
+    use_lazy_randomized_pairing_checks: Optional[bool] = None
+
+
+@dataclass
+class Proof:
+    statement_proofs: list
+    nonce: Optional[bytes] = None
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def new(cls, rng, proof_spec: ProofSpec, witnesses: list,
+            nonce: Optional[bytes] = None) -> "Proof":
+        """`prover.rs:139`: validate -> equivalence classes -> shared
+        blindings -> round 1 commits + transcript -> challenge -> round 2."""
+        proof_spec.validate()
+        if len(witnesses) != len(proof_spec.statements):
+            raise ProofSystemError("witness count != statement count")
+
+        classes = proof_spec.meta_statements.disjoint_witness_equalities()
+        blindings_by_ref: dict[WitnessRef, Fp] = {}
+        for cls_refs in classes:
+            shared = F.rand(rng)
+            for ref in cls_refs:
+                blindings_by_ref[ref] = shared
+
+        transcript = Transcript(COMPOSITE_PROOF_LABEL)
+        if nonce is not None:
+            transcript.append_message(NONCE_LABEL, nonce)
+        if proof_spec.context is not None:
+            transcript.append_message(CONTEXT_LABEL, proof_spec.context)
+
+        subprotocols = []
+        for idx, (stmt, wit) in enumerate(zip(proof_spec.statements, witnesses)):
+            stmt_blindings = {
+                ref.witness: bl for ref, bl in blindings_by_ref.items()
+                if ref.statement == idx
+            }
+            sp = stmt.init_subprotocol(rng, stmt_blindings, wit)
+            w = ByteWriter()
+            sp.challenge_contribution(w)
+            transcript.append_message(b"", w.bytes())
+            subprotocols.append(sp)
+
+        challenge = transcript.challenge_scalar(
+            F, COMPOSITE_PROOF_CHALLENGE_LABEL)
+
+        return cls(
+            statement_proofs=[sp.gen_proof(challenge) for sp in subprotocols],
+            nonce=nonce)
+
+    # ------------------------------------------------------------------
+
+    def verify(self, rng, proof_spec: ProofSpec,
+               nonce: Optional[bytes] = None,
+               config: Optional[VerifierConfig] = None) -> bool:
+        """`verifier.rs:128`: rebuild transcript, recompute challenge, verify
+        every statement proof, check cross-statement response equality, run
+        the accumulated pairing check once."""
+        proof_spec.validate()
+        if len(self.statement_proofs) != len(proof_spec.statements):
+            raise ProofSystemError("proof count != statement count")
+
+        pairing_checker = None
+        if config is not None and config.use_lazy_randomized_pairing_checks is not None:
+            pairing_checker = RandomizedPairingChecker(
+                F.rand(rng), lazy=config.use_lazy_randomized_pairing_checks)
+
+        transcript = Transcript(COMPOSITE_PROOF_LABEL)
+        if nonce is not None:
+            transcript.append_message(NONCE_LABEL, nonce)
+        if proof_spec.context is not None:
+            transcript.append_message(CONTEXT_LABEL, proof_spec.context)
+
+        for stmt, sp in zip(proof_spec.statements, self.statement_proofs):
+            w = ByteWriter()
+            stmt.proof_challenge_contribution(sp, w)
+            transcript.append_message(b"", w.bytes())
+
+        challenge = transcript.challenge_scalar(
+            F, COMPOSITE_PROOF_CHALLENGE_LABEL)
+
+        # cross-statement equality: responses in each class must agree
+        for cls_refs in proof_spec.meta_statements.disjoint_witness_equalities():
+            resp = None
+            for ref in sorted(cls_refs, key=lambda r: (r.statement, r.witness)):
+                stmt = proof_spec.statements[ref.statement]
+                r = stmt.response_for_witness(
+                    self.statement_proofs[ref.statement], ref.witness)
+                if resp is None:
+                    resp = r
+                elif resp != r:
+                    raise ProofSystemError(
+                        f"witness equality violated at {ref}")
+
+        for stmt, sp in zip(proof_spec.statements, self.statement_proofs):
+            stmt.verify_proof(sp, challenge, pairing_checker)
+
+        if pairing_checker is not None and not pairing_checker.verify():
+            raise ProofSystemError("accumulated pairing check failed")
+        return True
