@@ -140,6 +140,17 @@ def _lagrange_coeffs_at(domain, t: int) -> list[int]:
 
 def generate_random_parameters(circuit, commit_witness_count: int, rng) -> ProvingKey:
     """CRS generation (`generator.rs:230-440`)."""
+    trapdoors = tuple(F.rand(rng) for _ in range(5))
+    return generate_parameters_with_trapdoors(
+        circuit, commit_witness_count, rng, *trapdoors)
+
+
+def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
+                                       alpha, beta, gamma, delta,
+                                       eta) -> ProvingKey:
+    """CRS from explicit toxic waste — needed by SAVER, which binds the
+    encryption key to (gamma, delta) of the SNARK CRS
+    (`saver/src/saver_groth16.rs:52-80`)."""
     cs = ConstraintSystem(F, mode="setup")
     circuit(cs)
 
@@ -151,7 +162,6 @@ def generate_random_parameters(circuit, commit_witness_count: int, rng) -> Provi
     domain = domain_for(F, 1 << max(1, (nc + num_inst - 1).bit_length()))
     N = domain.n
 
-    alpha, beta, gamma, delta, eta = (F.rand(rng) for _ in range(5))
     while True:
         t = F.rand(rng)
         if (pow(int(t), N, F.p) - 1) % F.p != 0:
