@@ -147,9 +147,9 @@ def weighted_reduce(jc: JCurve, buckets: JPoints, nbuckets: int) -> JPoints:
     def weighted_sum(points: JPoints, n: int) -> JPoints:
         """sum_i i * P_i = sum_b 2^b * (sum_{i: bit b of i} P_i).
         Log-depth (TPU path); falls back to the scan form on CPU where
-        compile time dominates."""
-        from ..fields.jfield import _use_flat_carries
-        if not _use_flat_carries():
+        compile time dominates.  (Independent of the carry mode: sequential
+        point adds are the TPU bottleneck regardless.)"""
+        if jax.default_backend() == "cpu":
             return weighted_sum_scan(points, n)
         nbits = (n - 1).bit_length()
         idx = jnp.arange(n, dtype=jnp.int32)

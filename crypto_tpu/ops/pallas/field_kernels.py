@@ -1,0 +1,213 @@
+"""Pallas TPU kernels for the field-arithmetic hot path.
+
+Fused Montgomery multiplication: schoolbook -> REDC -> carries -> conditional
+subtract, entirely in VMEM, with the index-shuffling expressed as MXU matmuls
+against small CONSTANT matrices (exact in f32 by magnitude bounds):
+
+* column reduction of the a*b partial products: one-hot matrix
+  OH[i+j, i*L+j] = 1;  cols = OH @ split(P)              (2 matmuls)
+* REDC products with the constant vectors ninv / p: lower-triangular
+  Toeplitz matrices; operands bit-split (x into 7+8 bits, constants into
+  8+7 bits) so every f32 product < 2^16 and every accumulated sum < 2^21
+  stays exact; the 2^15-weighted piece recombines as a one-limb row shift.
+
+Layout: TRANSPOSED (L, B) — limb index in sublanes, batch in lanes.
+Values are 15-bit limbs in int32 (see `crypto_tpu.fields.jfield`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...fields.jfield import LIMB_BITS, LIMB_MASK, int_to_limbs
+
+BLOCK_B = 256
+
+
+def _shift_rows_down(x, k):
+    """Shift rows toward higher limb index (row i -> row i+k), zeros in."""
+    if k == 0:
+        return x
+    z = jnp.zeros((k,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([z, x[:-k]], axis=0)
+
+
+def _carry_ks_rows(x, out_rows):
+    """Exact carry normalization over the ROW (limb) axis, log-depth.
+    x: (K, B) nonneg int32 (< 2^31) -> (out_rows, B) 15-bit limbs."""
+    K = x.shape[0]
+    if K < out_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((out_rows - K,) + x.shape[1:], x.dtype)], axis=0)
+    elif out_rows < K:
+        x = x[:out_rows]
+    x = (x & LIMB_MASK) + _shift_rows_down(x >> LIMB_BITS, 1)
+    x = (x & LIMB_MASK) + _shift_rows_down(x >> LIMB_BITS, 1)
+    a = x & LIMB_MASK
+    w = _shift_rows_down(x >> LIMB_BITS, 1)
+    s = a + w
+    g = s >> LIMB_BITS
+    p = (s == LIMB_MASK).astype(jnp.int32)
+    step = 1
+    n = s.shape[0]
+    while step < n:
+        g = g | (p & _shift_rows_down(g, step))
+        p = p & _shift_rows_down(p, step)
+        step <<= 1
+    return (s + _shift_rows_down(g, 1)) & LIMB_MASK
+
+
+def _sub_ks_rows(a, b):
+    """(a - b) over rows with parallel-prefix borrows; returns (diff, borrow)."""
+    d = a - b
+    g = (d < 0).astype(jnp.int32)
+    p = (d == 0).astype(jnp.int32)
+    gg, pp = g, p
+    step = 1
+    n = d.shape[0]
+    while step < n:
+        gg = gg | (pp & _shift_rows_down(gg, step))
+        pp = pp & _shift_rows_down(pp, step)
+        step <<= 1
+    borrow_in = _shift_rows_down(gg, 1)
+    return (d - borrow_in) & LIMB_MASK, gg[-1:]
+
+
+def _f32dot(m, x):
+    return jax.lax.dot_general(
+        m, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _const_tables(L: int, p_int: int, ninv_int: int):
+    oh = np.zeros((2 * L, L * L), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            oh[i + j, i * L + j] = 1.0
+    p_limbs = int_to_limbs(p_int, L).astype(np.int64)
+    ninv_limbs = int_to_limbs(ninv_int, L).astype(np.int64)
+
+    def toeplitz(vec, rows):
+        t = np.zeros((rows, L), dtype=np.int64)
+        for k in range(rows):
+            for i in range(L):
+                j = k - i
+                if 0 <= j < L:
+                    t[k, i] = vec[j]
+        return t
+
+    ninv_T = toeplitz(ninv_limbs, L)    # mod-R product keeps only L rows
+    p_T = toeplitz(p_limbs, 2 * L)
+    return dict(
+        oh=oh,
+        ninv_lo=(ninv_T & 0xFF).astype(np.float32),
+        ninv_hi=(ninv_T >> 8).astype(np.float32),
+        p_lo=(p_T & 0xFF).astype(np.float32),
+        p_hi=(p_T >> 8).astype(np.float32),
+        p_ext=np.concatenate([p_limbs, [0]]).astype(np.int32).reshape(L + 1, 1),
+    )
+
+
+def _toeplitz_mul(x, c_lo, c_hi):
+    """(main, carry) streams of C @ x where C = c_lo + 2^8 c_hi and
+    x = (x & 0x7F) + 2^7 (x >> 7).  All four f32 matmuls exact
+    (products < 2^16, sums < 2^21).  True value = main + 2^15 * carry,
+    with main < 2^29 (int32-safe) and carry < 2^20."""
+    x_lo = (x & 0x7F).astype(jnp.float32)
+    x_hi = (x >> 7).astype(jnp.float32)
+    ll = _f32dot(c_lo, x_lo).astype(jnp.int32)
+    lh = _f32dot(c_lo, x_hi).astype(jnp.int32)
+    hl = _f32dot(c_hi, x_lo).astype(jnp.int32)
+    hh = _f32dot(c_hi, x_hi).astype(jnp.int32)
+    main = ll + (lh << 7) + (hl << 8)
+    return main, hh
+
+
+def _make_mont_mul_kernel(L: int):
+    def kernel(a_ref, b_ref, oh_ref, ninv_lo_ref, ninv_hi_ref,
+               p_lo_ref, p_hi_ref, p_ext_ref, out_ref):
+        a = a_ref[:]
+        b = b_ref[:]
+        B = a.shape[1]
+
+        # wide product columns via one-hot matmul
+        P = (a[:, None, :] * b[None, :, :]).reshape(L * L, B)  # int32 exact
+        Plo = (P & LIMB_MASK).astype(jnp.float32)
+        Phi = (P >> LIMB_BITS).astype(jnp.float32)
+        oh = oh_ref[:]
+        cols_lo = _f32dot(oh, Plo).astype(jnp.int32)           # (2L, B) < 2^21
+        cols_hi = _f32dot(oh, Phi).astype(jnp.int32)
+        t = _carry_ks_rows(cols_lo + _shift_rows_down(cols_hi, 1), 2 * L)
+
+        # m = (t mod R) * ninv mod R
+        m_main, m_carry = _toeplitz_mul(t[:L], ninv_lo_ref[:], ninv_hi_ref[:])
+        m = _carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)
+
+        # u = m * p (full width)
+        u_main, u_carry = _toeplitz_mul(m, p_lo_ref[:], p_hi_ref[:])
+        u = u_main + _shift_rows_down(u_carry, 1)
+
+        s = _carry_ks_rows(t + u, 2 * L + 1)
+        res = s[L:]
+        d, borrow = _sub_ks_rows(res, p_ext_ref[:])
+        out_ref[:] = jnp.where(borrow > 0, res[:L], d[:L])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def mont_mul_t_fn(L: int, p_int: int, ninv_int: int, block_b: int = BLOCK_B):
+    """Batched Montgomery mul in transposed layout: (L, B) x (L, B) -> (L, B).
+    B must be a multiple of block_b (caller pads)."""
+    kernel = _make_mont_mul_kernel(L)
+    tb = _const_tables(L, p_int, ninv_int)
+    names = ["oh", "ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
+    consts = [jnp.asarray(tb[n]) for n in names]
+    const_specs = [
+        pl.BlockSpec(tb[n].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in names
+    ]
+
+    def run(a_t: jnp.ndarray, b_t: jnp.ndarray) -> jnp.ndarray:
+        B = a_t.shape[1]
+        grid = (B // block_b,)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] + const_specs,
+            out_specs=pl.BlockSpec((L, block_b), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )(a_t, b_t, *consts)
+
+    return run
+
+
+def mont_mul_batched(J, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for JField.mul on (..., L) operands via the pallas kernel.
+    Transposes at the boundary; pads batch to the block size."""
+    L = J.L
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape).reshape(-1, L)
+    b = jnp.broadcast_to(b, shape).reshape(-1, L)
+    B = a.shape[0]
+    pad = (-B) % BLOCK_B
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, L), jnp.int32)])
+        b = jnp.concatenate([b, jnp.zeros((pad, L), jnp.int32)])
+    out_t = mont_mul_t_fn(L, J.p, J.field.Ninv_R)(a.T, b.T)
+    out = out_t.T
+    if pad:
+        out = out[:B]
+    return out.reshape(shape)
