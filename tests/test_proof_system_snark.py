@@ -1,0 +1,109 @@
+"""Composite proofs with SNARK-backed statements: credential attribute
+bound-check and verifiable encryption linked to a BBS+ signature
+(the reference's flagship flows: `proof_system/tests/bound_check_legogroth16.rs`
+and `verifiable_encryption_saver.rs` at test scale)."""
+
+import random
+
+import pytest
+
+from crypto_tpu.curves import bls12_381 as b
+from crypto_tpu.bbs_plus.setup import KeypairG2, SignatureParamsG1
+from crypto_tpu.bbs_plus.signature import SignatureG1
+from crypto_tpu.legogroth16.bound_check import generate_snark_srs_bound_check
+from crypto_tpu.saver import core as saver_core
+from crypto_tpu.proof_system.base import ProofSpec, ProofSystemError
+from crypto_tpu.proof_system.statements import PoKBBSSignatureG1, BBSWitness
+from crypto_tpu.proof_system.statements_snark import (BoundCheckLegoGroth16,
+                                                      SaverStatement)
+from crypto_tpu.proof_system.proof import Proof
+
+F = b.Fr
+RNG = random.Random(505)
+
+
+@pytest.fixture(scope="module")
+def cred():
+    n = 3
+    sig_params = SignatureParamsG1.new(b"issuer", n)
+    issuer = KeypairG2.generate(RNG, sig_params)
+    messages = [F(25), F.rand(RNG), F.rand(RNG)]  # message 0 = age
+    sig = SignatureG1.new(RNG, messages, issuer.secret_key, sig_params)
+    return sig_params, issuer, messages, sig
+
+
+@pytest.fixture(scope="module")
+def bound_srs():
+    return generate_snark_srs_bound_check(RNG)
+
+
+def test_bbs_with_bound_check(cred, bound_srs):
+    """Prove: valid credential AND 18 <= age < 100 without revealing age."""
+    sig_params, issuer, messages, sig = cred
+    spec = ProofSpec()
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key, revealed_messages={}))
+    s1 = spec.add_statement(BoundCheckLegoGroth16(
+        min_val=18, max_val=100, snark_pk=bound_srs))
+    spec.add_witness_equality([(s0, 0), (s1, 0)])
+    wits = [BBSWitness(signature=sig, messages=messages), messages[0]]
+    proof = Proof.new(RNG, spec, wits, nonce=b"bc")
+    assert proof.verify(RNG, spec, nonce=b"bc")
+
+
+def test_bound_check_out_of_range(bound_srs):
+    from crypto_tpu.legogroth16.snark import LegoGroth16Error
+    spec = ProofSpec()
+    spec.add_statement(BoundCheckLegoGroth16(
+        min_val=30, max_val=100, snark_pk=bound_srs))
+    with pytest.raises(LegoGroth16Error):
+        Proof.new(RNG, spec, [F(25)], nonce=b"x")
+
+
+def test_bound_check_equality_violation(cred, bound_srs):
+    """Proving the bound over a DIFFERENT value than the signed age must
+    fail the equality meta-statement."""
+    sig_params, issuer, messages, sig = cred
+    spec = ProofSpec()
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key, revealed_messages={}))
+    s1 = spec.add_statement(BoundCheckLegoGroth16(
+        min_val=18, max_val=100, snark_pk=bound_srs))
+    spec.add_witness_equality([(s0, 0), (s1, 0)])
+    wits = [BBSWitness(signature=sig, messages=messages), F(50)]
+    proof = Proof.new(RNG, spec, wits, nonce=b"bc")
+    with pytest.raises(ProofSystemError, match="equality"):
+        proof.verify(RNG, spec, nonce=b"bc")
+
+
+@pytest.fixture(scope="module")
+def saver_setup():
+    cb = 8
+    gens = saver_core.EncryptionGens.new(b"ps-saver")
+    spk = saver_core.generate_srs(cb, gens, RNG)
+    g_i = saver_core.get_gs_for_encryption(spk.pk.vk)
+    sk, ek, dk = saver_core.keygen(RNG, cb, gens, g_i, spk.pk.delta_g1,
+                                   spk.gamma_g1)
+    return cb, gens, spk, g_i, sk, ek, dk
+
+
+def test_bbs_with_verifiable_encryption(cred, saver_setup):
+    """Prove: valid credential AND message 1 is encrypted for an auditor."""
+    sig_params, issuer, messages, sig = cred
+    cb, gens, spk, g_i, sk, ek, dk = saver_setup
+    G = b.G1.rand(RNG).normalize()
+    H = b.G1.rand(RNG).normalize()
+    spec = ProofSpec()
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key, revealed_messages={}))
+    s1 = spec.add_statement(SaverStatement(
+        chunk_bit_size=cb, enc_gens=gens, ek=ek, snark_pk=spk,
+        comm_G=G, comm_H=H))
+    spec.add_witness_equality([(s0, 1), (s1, 0)])
+    wits = [BBSWitness(signature=sig, messages=messages), messages[1]]
+    proof = Proof.new(RNG, spec, wits, nonce=b"ve")
+    assert proof.verify(RNG, spec, nonce=b"ve")
+    # the auditor can decrypt the linked message
+    ct = proof.statement_proofs[1].ciphertext
+    dec, nu = saver_core.decrypt(ct, sk, dk, g_i, cb)
+    assert dec == messages[1]
