@@ -1,0 +1,142 @@
+"""Threshold BBS+ end-to-end: all participants simulated in one process
+(the reference's test strategy, SURVEY.md §4.3) plus OT-stack unit tests."""
+
+import random
+
+import numpy as np
+import pytest
+
+from crypto_tpu.curves import bls12_381 as b
+from crypto_tpu.fields.host import Fp
+
+F = b.Fr
+RNG = random.Random(606)
+
+
+def test_base_ot():
+    from crypto_tpu.ot.base_ot import do_base_ots
+    g = b.G1.generator()
+    choices = [RNG.randrange(2) for _ in range(16)]
+    pairs, chosen = do_base_ots(RNG, g, choices)
+    for (k0, k1), c, kc in zip(pairs, choices, chosen):
+        assert kc == (k1 if c else k0)
+        assert k0 != k1
+
+
+def test_ot_extension():
+    from crypto_tpu.ot.ot_extension import setup_ote_pair
+    g = b.G1.generator()
+    sender, receiver = setup_ote_pair(RNG, g)
+    m = 64
+    choices = np.array([RNG.randrange(2) for _ in range(m)], dtype=np.uint8)
+    U, rkeys = receiver.process(choices)
+    skeys = sender.process(m, U)
+    for j in range(m):
+        k0, k1 = skeys[j]
+        assert rkeys[j] == (k1 if choices[j] else k0)
+        assert k0 != k1
+
+
+def test_gilboa_batch_mul():
+    from crypto_tpu.ot.ot_extension import setup_ote_pair
+    from crypto_tpu.ot import gilboa
+    g = b.G1.generator()
+    sender, receiver = setup_ote_pair(RNG, g)
+    n = 2
+    a_vals = [F.rand(RNG) for _ in range(n)]
+    b_vals = [F.rand(RNG) for _ in range(n)]
+    U, keys, choices = gilboa.batch_mul_party2_round1(receiver, b_vals)
+    msgs, shares1 = gilboa.batch_mul_party1(sender, a_vals, U)
+    shares2 = gilboa.batch_mul_party2_round2(keys, choices, msgs, n)
+    for t in range(n):
+        assert shares1[t] + shares2[t] == a_vals[t] * b_vals[t]
+
+
+def test_cointoss_and_zero_sharing():
+    from crypto_tpu.ot.cointoss import CointossParty
+    from crypto_tpu.ot.zero_sharing import ZeroSharingParty
+    ids = [1, 2, 3]
+    parties, comms = {}, {}
+    for i in ids:
+        parties[i], comms[i] = CointossParty.commit(RNG, i, 2, b"ct-test")
+    for i in ids:
+        for j in ids:
+            if i != j:
+                parties[i].receive_commitments(j, comms[j])
+    reveals = {i: parties[i].reveal() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i != j:
+                parties[i].receive_reveals(j, reveals[j])
+    joints = [parties[i].compute_joint() for i in ids]
+    assert joints[0] == joints[1] == joints[2]
+
+    zs, zcomms = {}, {}
+    for i in ids:
+        zs[i], zcomms[i] = ZeroSharingParty.init(
+            RNG, i, 2, [j for j in ids if j != i], b"zs-test")
+    for i in ids:
+        for j in ids:
+            if i != j:
+                zs[i].receive_commitments(j, zcomms[j][i])
+    zreveals = {i: zs[i].reveals() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i != j:
+                zs[i].receive_reveals(j, zreveals[j][i])
+    shares = {i: zs[i].compute_zero_shares() for i in ids}
+    for t in range(2):
+        acc = F(0)
+        for i in ids:
+            acc = acc + shares[i][t]
+        assert acc.is_zero()
+
+
+@pytest.mark.slow
+def test_threshold_bbs_plus_signing():
+    from crypto_tpu.bbs_plus.setup import SignatureParamsG1, SecretKey, PublicKeyG2
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+    from crypto_tpu.bbs_plus.threshold.threshold_bbs_plus import (
+        Phase1, BBSPlusSignatureShare, run_phase2_pairwise)
+
+    n_msgs = 3
+    params = SignatureParamsG1.new(b"threshold-issuer", n_msgs)
+    sk = SecretKey.generate(RNG)
+    pk = PublicKeyG2.generate(sk, params)
+    shares, _ = shamir_deal_secret(RNG, sk.x, 3, 5)
+    signer_ids = [1, 3, 4]
+    messages = [F.rand(RNG) for _ in range(n_msgs)]
+
+    # Phase 1
+    phase1, ct_comms, zs_comms = {}, {}, {}
+    for i in signer_ids:
+        others = {j for j in signer_ids if j != i}
+        phase1[i], ct_comms[i], zs_comms[i] = Phase1.init(
+            RNG, 1, i, others, b"tbbs-test")
+    for i in signer_ids:
+        for j in signer_ids:
+            if i != j:
+                phase1[i].commitment_protocol.receive_commitments(j, ct_comms[j])
+                phase1[i].zero_sharing_protocol.receive_commitments(j, zs_comms[j][i])
+    ct_reveals = {i: phase1[i].commitment_protocol.reveal() for i in signer_ids}
+    zs_reveals = {i: phase1[i].zero_sharing_protocol.reveals() for i in signer_ids}
+    for i in signer_ids:
+        for j in signer_ids:
+            if i != j:
+                phase1[i].commitment_protocol.receive_reveals(j, ct_reveals[j])
+                phase1[i].zero_sharing_protocol.receive_reveals(j, zs_reveals[j][i])
+    p1out = {}
+    for i in signer_ids:
+        x_i = next(s.share for s in shares.shares if s.id == i)
+        p1out[i] = phase1[i].finish(x_i, signer_ids)
+
+    # Phase 2 (pairwise OT multiplication)
+    p2out = run_phase2_pairwise(RNG, p1out)
+
+    # Shares + aggregation
+    sig_shares = [
+        BBSPlusSignatureShare.new(messages, 0, p1out[i], p2out[i], params)
+        for i in signer_ids
+    ]
+    sig = BBSPlusSignatureShare.aggregate(sig_shares)
+    assert sig.verify(messages, pk, params)
