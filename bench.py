@@ -27,6 +27,12 @@ def main() -> None:
     import crypto_tpu.jax_setup  # persistent compile cache
     import jax
 
+    # Scan-mode carries compile reliably on the remote-compile TPU path;
+    # flat Kogge-Stone mode is opt-in until its compile times are fixed.
+    if not os.environ.get("CRYPTO_TPU_CARRY"):
+        from crypto_tpu.fields.jfield import set_carry_mode
+        set_carry_mode("scan")
+
     logn = int(os.environ.get("CRYPTO_TPU_BENCH_N", "20"))
     if os.environ.get("CRYPTO_TPU_BENCH_FAST"):
         logn = min(logn, 14)

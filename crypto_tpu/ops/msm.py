@@ -296,10 +296,11 @@ def horner_combine(jc: JCurve, curve: SWCurve, wins: JPoints, c: int) -> Point:
 
 
 def _auto_window(n: int) -> int:
+    # c capped at 12: 2^12 buckets keep the weighted-reduction graphs small
+    # enough for the (slow, remote) TPU compile path; the extra windows cost
+    # ~15% more adds at 2^20 but compile time dominates iteration speed.
     if n < 64:
         return 4
     if n < 1 << 12:
         return 8
-    if n < 1 << 17:
-        return 12
-    return 15
+    return 12

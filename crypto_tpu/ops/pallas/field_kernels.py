@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...fields.jfield import LIMB_BITS, LIMB_MASK, int_to_limbs
 
-BLOCK_B = 256
+BLOCK_B = 512
 
 
 def _shift_rows_down(x, k):
@@ -82,6 +82,7 @@ def _sub_ks_rows(a, b):
 def _f32dot(m, x):
     return jax.lax.dot_general(
         m, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
@@ -136,8 +137,9 @@ def _make_mont_mul_kernel(L: int):
         b = b_ref[:]
         B = a.shape[1]
 
-        # wide product columns via one-hot matmul
-        P = (a[:, None, :] * b[None, :, :]).reshape(L * L, B)  # int32 exact
+        # wide product columns via one-hot matmul; build (L*L, B) by
+        # stacking row-broadcast products (no 3D reshape -> no relayout)
+        P = jnp.concatenate([a[i:i + 1, :] * b for i in range(L)], axis=0)
         Plo = (P & LIMB_MASK).astype(jnp.float32)
         Phi = (P >> LIMB_BITS).astype(jnp.float32)
         oh = oh_ref[:]
