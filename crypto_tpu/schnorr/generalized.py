@@ -49,3 +49,40 @@ class SchnorrResponse:
 
     def get_response(self, i: int) -> Fp:
         return self.responses[i]
+
+
+@dataclass
+class PartialSchnorrResponse:
+    """Responses for only a subset of witness indices; the rest are shared
+    with other protocols and supplied at verification
+    (reference `schnorr_pok/src/partial.rs:35-407`)."""
+    responses: dict  # index -> Fp
+    total: int
+
+    def is_valid(self, bases: Sequence[Point], y: Point, t: Point,
+                 challenge: Fp, missing_responses: dict) -> bool:
+        if set(self.responses) | set(missing_responses) != set(range(self.total)):
+            return False
+        if set(self.responses) & set(missing_responses):
+            return False
+        full = [None] * self.total
+        for i, r in self.responses.items():
+            full[i] = r
+        for i, r in missing_responses.items():
+            full[i] = r
+        return SchnorrResponse(full).is_valid(bases, y, t, challenge)
+
+    def get_response(self, i: int) -> Fp:
+        if i not in self.responses:
+            raise KeyError(f"response {i} was skipped (shared elsewhere)")
+        return self.responses[i]
+
+
+def partial_response(commitment: SchnorrCommitment, witnesses, challenge: Fp,
+                     skip_indices: set) -> PartialSchnorrResponse:
+    """Like SchnorrCommitment.response but omits the given indices."""
+    out = {}
+    for i, (b, w) in enumerate(zip(commitment.blindings, witnesses)):
+        if i not in skip_indices:
+            out[i] = b + w * challenge
+    return PartialSchnorrResponse(responses=out, total=len(witnesses))

@@ -1,0 +1,105 @@
+"""SyRA pseudonyms, DY VRF, and Schnorr inequality proofs."""
+
+import random
+
+import pytest
+
+from crypto_tpu.curves import bls12_381 as b
+from crypto_tpu.syra.core import (SyraSetupParams, IssuerSecretKey,
+                                  IssuerPublicKey, UserSecretKey,
+                                  PseudonymProof, vrf_generate, vrf_verify)
+from crypto_tpu.schnorr.inequality import DiscreteLogInequalityProtocol
+from crypto_tpu.utils.commitment import PedersenCommitmentKey
+from crypto_tpu.serialize import ByteWriter
+from crypto_tpu.hashing import compute_random_oracle_challenge
+
+F = b.Fr
+RNG = random.Random(808)
+
+
+def test_vrf():
+    params = SyraSetupParams.new(b"syra-test")
+    sk = IssuerSecretKey.generate(RNG)
+    pk = IssuerPublicKey.new(sk, params)
+    m = F.rand(RNG)
+    out, proof = vrf_generate(m, sk, params)
+    assert vrf_verify(m, out, proof, pk, params)
+    assert not vrf_verify(m + F(1), out, proof, pk, params)
+
+
+def test_pseudonym():
+    params = SyraSetupParams.new(b"syra-test")
+    isk = IssuerSecretKey.generate(RNG)
+    ipk = IssuerPublicKey.new(isk, params)
+    user_id = F.rand(RNG)
+    usk = UserSecretKey.issue(user_id, isk, params)
+    assert usk.verify(user_id, ipk, params)
+
+    proof = PseudonymProof.new(RNG, usk, user_id, b"ctx-1", params)
+    assert proof.verify(b"ctx-1", ipk, params)
+    # pseudonym is deterministic per (user, context)
+    proof2 = PseudonymProof.new(RNG, usk, user_id, b"ctx-1", params)
+    assert proof2.T == proof.T
+    # ...but different across contexts (unlinkable)
+    proof3 = PseudonymProof.new(RNG, usk, user_id, b"ctx-2", params)
+    assert proof3.T != proof.T
+    assert proof3.verify(b"ctx-2", ipk, params)
+    # wrong context fails
+    assert not proof.verify(b"ctx-2", ipk, params)
+    # forged user (no issuer signature) fails
+    fake_usk = UserSecretKey(usk=b.G1.rand(RNG).normalize())
+    fake = PseudonymProof.new(RNG, fake_usk, user_id, b"ctx-1", params)
+    assert not fake.verify(b"ctx-1", ipk, params)
+
+
+def test_inequality_public_value():
+    ck = PedersenCommitmentKey.new(b.G1, b"ineq-ck")
+    m, r = F.rand(RNG), F.rand(RNG)
+    C = ck.commit(m, r)
+    v = F.rand(RNG)
+    prot = DiscreteLogInequalityProtocol.init_with_public_value(
+        RNG, m, r, C, v, ck)
+    w = ByteWriter()
+    prot.challenge_contribution(C, v, ck, w)
+    c = compute_random_oracle_challenge(F, w.bytes())
+    proof = prot.gen_proof(c)
+    assert proof.verify_with_public_value(C, v, c, ck)
+    # equal values cannot even start
+    from crypto_tpu.schnorr.inequality import InequalityError
+    with pytest.raises(InequalityError):
+        DiscreteLogInequalityProtocol.init_with_public_value(
+            RNG, m, r, C, m, ck)
+
+
+def test_inequality_committed_values():
+    ck = PedersenCommitmentKey.new(b.G1, b"ineq-ck")
+    m1, r1 = F.rand(RNG), F.rand(RNG)
+    m2, r2 = F.rand(RNG), F.rand(RNG)
+    C1, C2 = ck.commit(m1, r1), ck.commit(m2, r2)
+    prot = DiscreteLogInequalityProtocol.init_with_committed_value(
+        RNG, m1, r1, C1, m2, r2, C2, ck)
+    w = ByteWriter()
+    prot.challenge_contribution((C1 - C2).normalize(), F(0), ck, w)
+    c = compute_random_oracle_challenge(F, w.bytes())
+    proof = prot.gen_proof(c)
+    assert proof.verify_with_committed_value(C1, C2, c, ck)
+
+
+def test_partial_schnorr_response():
+    from crypto_tpu.schnorr.generalized import (SchnorrCommitment,
+                                                partial_response)
+    from crypto_tpu.utils.msm import msm
+    n = 5
+    bases = [b.G1.rand(RNG).normalize() for _ in range(n)]
+    wits = [F.rand(RNG) for _ in range(n)]
+    y = msm(bases, wits).normalize()
+    blinds = [F.rand(RNG) for _ in range(n)]
+    comm = SchnorrCommitment.new(bases, blinds)
+    c = F.rand(RNG)
+    partial = partial_response(comm, wits, c, skip_indices={1, 3})
+    # the skipped responses come from "another protocol"
+    missing = {1: blinds[1] + wits[1] * c, 3: blinds[3] + wits[3] * c}
+    assert partial.is_valid(bases, y, comm.t, c, missing)
+    bad = dict(missing)
+    bad[1] = bad[1] + F(1)
+    assert not partial.is_valid(bases, y, comm.t, c, bad)
