@@ -61,6 +61,46 @@ def _gather(p: JPoints, idx: jnp.ndarray) -> JPoints:
     return JPoints(p.X[idx], p.Y[idx], p.Z[idx])
 
 
+# Max batch for a single point-add call: the limb-product intermediates are
+# ~B * L^2 * 8 bytes each with several alive at once, so an unchunked add at
+# 2^19 batch OOMs a 16G-HBM chip.  Chunking via lax.map serializes mini
+# batches through one reused buffer.
+ADD_CHUNK = 1 << int(__import__("os").environ.get("CRYPTO_TPU_MSM_ADD_CHUNK_LOG2", "14"))
+
+
+def _chunked_add(jc: JCurve, A: JPoints, B: JPoints) -> JPoints:
+    n = A.X.shape[0]
+    if n <= ADD_CHUNK:
+        return jc.add(A, B)
+    pad = (-n) % ADD_CHUNK
+    L = A.X.shape[-1]
+
+    def padp(p):
+        if pad == 0:
+            return p
+        inf = jc.infinity((pad,))
+        return _concat(p, inf)
+
+    Ap, Bp = padp(A), padp(B)
+    k = (n + pad) // ADD_CHUNK
+
+    def resh(t):
+        return t.reshape(k, ADD_CHUNK, L)
+
+    stacked = (resh(Ap.X), resh(Ap.Y), resh(Ap.Z),
+               resh(Bp.X), resh(Bp.Y), resh(Bp.Z))
+
+    def body(args):
+        ax, ay, az, bx, by, bz = args
+        out = jc.add(JPoints(ax, ay, az), JPoints(bx, by, bz))
+        return out.X, out.Y, out.Z
+
+    ox, oy, oz = jax.lax.map(body, stacked)
+    out = JPoints(ox.reshape(-1, L)[:n], oy.reshape(-1, L)[:n],
+                  oz.reshape(-1, L)[:n])
+    return out
+
+
 def _concat(p: JPoints, q: JPoints) -> JPoints:
     return JPoints(jnp.concatenate([p.X, q.X]),
                    jnp.concatenate([p.Y, q.Y]),
@@ -89,7 +129,7 @@ def merge_level(jc: JCurve, out_size: int, g: jnp.ndarray, P: JPoints):
     P_ext = _concat(P, jc.infinity((1,)))
     A = _gather(P_ext, jnp.minimum(src, S))
     B = _gather(P_ext, jnp.minimum(src + 1, S))
-    M = jc.add(A, B)                       # (npairs+1,) batched adds
+    M = _chunked_add(jc, A, B)             # (npairs+1,) batched adds
 
     dead = jnp.concatenate([jnp.zeros((1,), bool), pair_start[:-1]])
     live = (g != SENTINEL) & ~dead
