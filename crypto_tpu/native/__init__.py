@@ -1,0 +1,77 @@
+"""Native (C++) components, built on demand with g++ and loaded via ctypes.
+
+The framework's compute core is JAX/Pallas; these cover the host-side
+native slots the reference fills with C/Rust (SURVEY.md §2.3): the
+Keccak-f[1600] transcript permutation and the OT-extension bit-matrix
+transpose.  Pure-Python fallbacks keep everything working without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native.cpp")
+_LIB = os.path.join(_HERE, "libcrypto_tpu_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded shared library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or \
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+        lib.keccak_f1600.argtypes = [ctypes.c_char_p]
+        lib.bit_transpose.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def keccak_f1600_native(state: bytearray) -> bool:
+    """In-place permutation via C++; returns False if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    buf = ctypes.create_string_buffer(bytes(state), 200)
+    lib.keccak_f1600(buf)
+    state[:] = buf.raw[:200]
+    return True
+
+
+def bit_transpose_native(matrix, rows: int, cols: int):
+    """numpy-packed bit matrix transpose; returns None if unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or rows % 8 or cols % 8:
+        return None
+    packed = np.packbits(matrix, axis=1).tobytes()
+    out = ctypes.create_string_buffer(cols * (rows // 8))
+    lib.bit_transpose(packed, out, rows, cols)
+    arr = np.frombuffer(out.raw, dtype=np.uint8).reshape(cols, rows // 8)
+    return np.unpackbits(arr, axis=1)[:, :rows]

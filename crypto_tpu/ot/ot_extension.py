@@ -31,6 +31,21 @@ from ..fields.host import Fp
 F = bls.Fr
 
 
+def _transpose_bits(M: np.ndarray) -> np.ndarray:
+    """Bit-matrix transpose; routes to the C++ kernel when shapes allow
+    (the reference's `oblivious_transfer/c/transpose.c` slot)."""
+    rows, cols = M.shape
+    if rows % 8 == 0 and cols % 8 == 0:
+        try:
+            from ..native import bit_transpose_native
+            out = bit_transpose_native(M, rows, cols)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return M.T.copy()
+
+
 @dataclass
 class OTESender:
     """Extension sender; holds base choices s and seeds k_i^{s_i}."""
@@ -51,7 +66,7 @@ class OTESender:
             if self.s_bits[i]:
                 qi = qi ^ U[i]
             Q[i] = qi
-        Qt = Q.T  # (m, kappa)
+        Qt = _transpose_bits(Q)  # (m, kappa)
         s_row = self.s_bits
         out = []
         for j in range(m):
@@ -77,7 +92,7 @@ class OTEReceiver:
             t_i = prg_bits(k0, m)
             U[i] = t_i ^ prg_bits(k1, m) ^ x
             T[i] = t_i
-        Tt = T.T
+        Tt = _transpose_bits(T)
         keys = [hash_key(bits_to_bytes(Tt[j]), j) for j in range(m)]
         return U, keys
 

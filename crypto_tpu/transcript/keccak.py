@@ -31,8 +31,28 @@ def _rotl(x: int, n: int) -> int:
     return ((x << n) | (x >> (64 - n))) & _MASK
 
 
+_native_checked = False
+_native_fn = None
+
+
 def keccak_f1600(state: bytearray) -> None:
-    """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes)."""
+    """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes).
+    Uses the C++ implementation (crypto_tpu.native) when available."""
+    global _native_checked, _native_fn
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from ..native import keccak_f1600_native, get_lib
+            if get_lib() is not None:
+                _native_fn = keccak_f1600_native
+        except Exception:
+            _native_fn = None
+    if _native_fn is not None and _native_fn(state):
+        return
+    _keccak_f1600_py(state)
+
+
+def _keccak_f1600_py(state: bytearray) -> None:
     assert len(state) == 200
     # load lanes A[x][y]
     A = [[0] * 5 for _ in range(5)]
