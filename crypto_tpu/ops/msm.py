@@ -261,42 +261,51 @@ def _level_plan(n: int, nbuckets: int) -> tuple[list[int], int, int]:
     return sizes, size, scan_iters
 
 
+def _window_pipeline(jc: JCurve, P: JPoints, dg: jnp.ndarray, c: int) -> JPoints:
+    """One Pippenger window: sort -> merge levels -> buckets -> weighted sum."""
+    nbuckets = 1 << c
+    n = dg.shape[0]
+    shrink_sizes, fixed_size, scan_iters = _level_plan(n, nbuckets)
+    g = jnp.where((dg == 0) | jc.is_infinity(P), SENTINEL, dg)
+    order = jnp.argsort(g, stable=True)
+    gs = g[order]
+    Ps = _gather(P, order)
+    for out_size in shrink_sizes:
+        gs, Ps = merge_level(jc, out_size, gs, Ps)
+    if fixed_size != gs.shape[0]:
+        # pad up to the fixed scan size (only when n small)
+        pad = fixed_size - gs.shape[0]
+        if pad > 0:
+            gs = jnp.concatenate([gs, jnp.full((pad,), SENTINEL, jnp.int32)])
+            Ps = _concat(Ps, jc.infinity((pad,)))
+        else:
+            gs, Ps = merge_level(jc, fixed_size, gs, Ps)
+
+    def fixed_level(carry, _x):
+        g2, P2 = carry
+        g2, P2 = merge_level(jc, fixed_size, g2, P2)
+        return (g2, P2), None
+
+    if scan_iters > 0:
+        (gs, Ps), _ = jax.lax.scan(fixed_level, (gs, Ps), None, length=scan_iters)
+    buckets = scatter_buckets(jc, gs, Ps, nbuckets)
+    return weighted_reduce(jc, buckets, nbuckets)
+
+
 def msm_program(jc: JCurve, P: JPoints, digits: jnp.ndarray, c: int) -> JPoints:
     """All-window MSM partials as one traceable program (scan over windows).
     digits: (W, n) int32.  Returns JPoints with leading axis W."""
-    nbuckets = 1 << c
-    W, n = digits.shape
-    shrink_sizes, fixed_size, scan_iters = _level_plan(n, nbuckets)
-
     def window_body(_, dg):
-        g = jnp.where((dg == 0) | jc.is_infinity(P), SENTINEL, dg)
-        order = jnp.argsort(g, stable=True)
-        gs = g[order]
-        Ps = _gather(P, order)
-        for out_size in shrink_sizes:
-            gs, Ps = merge_level(jc, out_size, gs, Ps)
-        if fixed_size != gs.shape[0]:
-            # pad up to the fixed scan size (only when n small)
-            pad = fixed_size - gs.shape[0]
-            if pad > 0:
-                gs = jnp.concatenate([gs, jnp.full((pad,), SENTINEL, jnp.int32)])
-                Ps = _concat(Ps, jc.infinity((pad,)))
-            else:
-                gs, Ps = merge_level(jc, fixed_size, gs, Ps)
-
-        def fixed_level(carry, _x):
-            g2, P2 = carry
-            g2, P2 = merge_level(jc, fixed_size, g2, P2)
-            return (g2, P2), None
-
-        if scan_iters > 0:
-            (gs, Ps), _ = jax.lax.scan(fixed_level, (gs, Ps), None, length=scan_iters)
-        buckets = scatter_buckets(jc, gs, Ps, nbuckets)
-        out = weighted_reduce(jc, buckets, nbuckets)
+        out = _window_pipeline(jc, P, dg, c)
         return None, (out.X, out.Y, out.Z)
 
     _, (wx, wy, wz) = jax.lax.scan(window_body, None, digits)
     return JPoints(wx, wy, wz)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_window_jit(jc: JCurve, c: int):
+    return jax.jit(functools.partial(_window_pipeline, jc, c=c))
 
 
 @functools.lru_cache(maxsize=None)
@@ -320,7 +329,19 @@ def msm_device(curve: SWCurve, points: list[Point] | JPoints,
     digits = scalars_to_digits([int(s) for s in scalars], c, nbits)
     if not isinstance(points, JPoints):
         points = jc.pack_points(points)
-    wins = _msm_program_jit(jc, c)(points, jnp.asarray(digits))
+    import os
+    if os.environ.get("CRYPTO_TPU_MSM_SPLIT_WINDOWS", "1") != "0" \
+            and jax.default_backend() != "cpu":
+        # one device call per window: keeps each call short (the remote TPU
+        # relay kills multi-minute programs) and shows partial progress
+        fn = _msm_window_jit(jc, c)
+        outs = [fn(points, jnp.asarray(digits[w]))
+                for w in range(digits.shape[0])]
+        wins = JPoints(jnp.stack([o.X for o in outs]),
+                       jnp.stack([o.Y for o in outs]),
+                       jnp.stack([o.Z for o in outs]))
+    else:
+        wins = _msm_program_jit(jc, c)(points, jnp.asarray(digits))
     return horner_combine(jc, curve, wins, c)
 
 
