@@ -140,3 +140,29 @@ def test_threshold_bbs_plus_signing():
     ]
     sig = BBSPlusSignatureShare.aggregate(sig_shares)
     assert sig.verify(messages, pk, params)
+
+
+@pytest.mark.slow
+def test_threshold_weak_bb():
+    from crypto_tpu.short_group_sig.weak_bb import (WeakBBSecretKey,
+                                                    WeakBBPublicKeyG2)
+    from crypto_tpu.short_group_sig.threshold_weak_bb import (
+        ThresholdWeakBBSigner, run_threshold_weak_bb)
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+    from crypto_tpu.hashing import group_elem_from_try_and_incr
+
+    g1 = group_elem_from_try_and_incr(b.G1, b"twbb-g1").normalize()
+    g2 = group_elem_from_try_and_incr(b.G2, b"twbb-g2").normalize()
+    sk = WeakBBSecretKey.generate(RNG)
+    pk = WeakBBPublicKeyG2.generate(sk, g2)
+    shares, _ = shamir_deal_secret(RNG, sk.x, 3, 5)
+    signer_ids = [1, 2, 5]
+    message = F.rand(RNG)
+    signers = {
+        i: ThresholdWeakBBSigner.init(
+            RNG, i, next(s.share for s in shares.shares if s.id == i),
+            signer_ids)
+        for i in signer_ids
+    }
+    sig = run_threshold_weak_bb(RNG, signers, message, g1)
+    assert sig.verify(message, pk, g1, g2)
