@@ -38,19 +38,25 @@ class BppSetupParams:
     H_vec: list
 
     @classmethod
-    def new(cls, label: bytes, g_count: int, h_count: int, digest=blake2b512):
+    def new(cls, label: bytes, g_count: int, h_count: int, digest=blake2b512,
+            curve=None):
+        curve = curve or bls.G1
         G = group_elem_from_try_and_incr(
-            bls.G1, concat_slices(label, b" : G"), digest).normalize()
+            curve, concat_slices(label, b" : G"), digest).normalize()
         G_vec = [p.normalize() for p in n_group_elements(
-            bls.G1, 0, g_count, concat_slices(label, b" : G_"), digest)]
+            curve, 0, g_count, concat_slices(label, b" : G_"), digest)]
         H_vec = [p.normalize() for p in n_group_elements(
-            bls.G1, 0, h_count, concat_slices(label, b" : H_"), digest)]
+            curve, 0, h_count, concat_slices(label, b" : H_"), digest)]
         return cls(G=G, G_vec=G_vec, H_vec=H_vec)
+
+    @property
+    def scalar_field(self):
+        return self.G.curve.scalar_field
 
 
 def weighted_norm(n, mu: Fp) -> Fp:
     """|n|^2_mu = sum mu^{i+1} * n_i^2."""
-    acc = F(0)
+    acc = mu.f(0)
     w = mu
     for x in n:
         acc = acc + w * x * x
@@ -58,15 +64,24 @@ def weighted_norm(n, mu: Fp) -> Fp:
     return acc
 
 
-def inner_product(a, b) -> Fp:
-    acc = F(0)
+def inner_product(a, b, zero: Fp = None) -> Fp:
+    """<a, b> truncated to the shorter; `zero` supplies the field's zero
+    when both vectors may be empty (during uneven folding rounds)."""
+    if a:
+        acc = a[0].f(0)
+    elif b:
+        acc = b[0].f(0)
+    elif zero is not None:
+        acc = zero
+    else:
+        raise BppError("empty inner product")
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
 
 
 def weighted_inner_product(a, b, mu: Fp) -> Fp:
-    acc = F(0)
+    acc = mu.f(0)
     w = mu
     for x, y in zip(a, b):
         acc = acc + w * x * y
@@ -98,6 +113,7 @@ class WeightedNormLinearArgument:
             raise BppError("l/c/H_vec length mismatch")
         if len(n) & (len(n) - 1):
             raise BppError("n length must be a power of two")
+        F = rho.f
         l, n, c = list(l), list(n), list(c)
         g_vec, h_vec = list(params.G_vec), list(params.H_vec)
         g = params.G
@@ -112,9 +128,10 @@ class WeightedNormLinearArgument:
             rho_inv = rho.inverse()
             mu_sqr = mu * mu
 
+            zero = mu.f(0)
             v_x = (rho_inv + rho_inv) * weighted_inner_product(n0, n1, mu_sqr) \
-                + inner_product(c0, l1) + inner_product(c1, l0)
-            v_r = weighted_norm(n1, mu_sqr) + inner_product(c1, l1)
+                + inner_product(c0, l1, zero) + inner_product(c1, l0, zero)
+            v_r = weighted_norm(n1, mu_sqr) + inner_product(c1, l1, zero)
 
             sn0 = [x * rho_inv for x in n0]
             sn1 = [x * rho for x in n1]
@@ -150,6 +167,7 @@ class WeightedNormLinearArgument:
                transcript: Transcript) -> bool:
         """Recursive verification (folds bases and commitment per round,
         reference `verify_recursively`)."""
+        F = rho.f
         c = list(c)
         g_vec, h_vec = list(params.G_vec), list(params.H_vec)
         if len(c) != len(h_vec):
@@ -157,6 +175,11 @@ class WeightedNormLinearArgument:
         if len(self.X) != len(self.R):
             return False
         mu = rho * rho
+        # the |n|^2 weight advances only when n actually folds; with
+        # len(H_vec) > len(G_vec) the last rounds fold l alone and the weight
+        # must stay frozen (reference `get_bases_and_scalars_for_reduced_
+        # commitment`: mu squared log2(G_vec.len()) times, not once per round)
+        n_weight = rho * rho
         com = commitment
         for X_i, R_i in zip(self.X, self.R):
             transcript.append(b"X", X_i)
@@ -172,12 +195,13 @@ class WeightedNormLinearArgument:
                 g0, g1 = _split(g_vec)
                 g_vec = [(a * int(rho) + b * int(gamma)).normalize()
                          for a, b in zip(g0, g1)]
+                n_weight = n_weight * n_weight
             com = (com + X_i * int(gamma)
                    + R_i * int(gamma * gamma - F(1))).normalize()
             rho = mu
             mu = mu * mu
-        # final: com == G*v + h*l + g*n with v = <c,l> + |n|^2_mu-of-rho
-        v = inner_product(c, self.l) + weighted_norm(self.n, rho * rho)
+        # final: com == G*v + h*l + g*n with v = <c,l> + |n|^2_{n_weight}
+        v = inner_product(c, self.l) + weighted_norm(self.n, n_weight)
         bases = [params.G] + h_vec[:len(self.l)] + g_vec[:len(self.n)]
         scalars = [v] + self.l + self.n
         return msm(bases, scalars) == com

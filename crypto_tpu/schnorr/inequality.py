@@ -51,6 +51,7 @@ class DiscreteLogInequalityProtocol:
                                ck: PedersenCommitmentKey):
         if value == inequal_to:
             raise InequalityError("values are equal")
+        F = value.f  # field-generic: works over any curve's scalar field
         a = F.rand_nonzero(rng)
         k = -(randomness * a)
         sc_c = PokPedersenCommitmentProtocol.init(
@@ -70,7 +71,7 @@ class DiscreteLogInequalityProtocol:
             raise InequalityError("values are equal")
         return cls.init_with_public_value(
             rng, value1 - value2, randomness1 - randomness2,
-            (commitment1 - commitment2).normalize(), F(0), ck)
+            (commitment1 - commitment2).normalize(), value1.f(0), ck)
 
     def challenge_contribution(self, commitment: Point, inequal_to: Fp,
                                ck: PedersenCommitmentKey, writer: ByteWriter):
@@ -124,7 +125,8 @@ class InequalityProof:
                                     commitment2: Point, challenge: Fp,
                                     ck: PedersenCommitmentKey) -> bool:
         return self.verify_with_public_value(
-            (commitment1 - commitment2).normalize(), F(0), challenge, ck)
+            (commitment1 - commitment2).normalize(),
+            self.sc_c.response1.f(0), challenge, ck)
 
     def response_for_value(self) -> Fp:
         """Response for m (for cross-statement equality)."""
