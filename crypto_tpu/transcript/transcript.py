@@ -25,6 +25,12 @@ class Transcript:
         t.merlin = self.merlin.clone()
         return t
 
+    def replace_with(self, other: "Transcript") -> None:
+        """Adopt `other`'s state — the abort-and-retry idiom: mutate a clone,
+        commit it back only on success (eq_across_groups rejection
+        sampling)."""
+        self.merlin = other.merlin
+
     # -- appends --
 
     def append_message(self, label: bytes, data: bytes) -> None:
