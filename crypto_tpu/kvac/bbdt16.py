@@ -275,3 +275,9 @@ class PoKOfMAC:
             raise KVACError("message is revealed")
         adjusted = sum(1 for j in range(msg_idx) if j not in revealed_ids)
         return self.sc_resp_msgs.get_response(adjusted)
+
+    def to_keyed_proof(self):
+        """Extract the secret-key-dependent part for the issuer to check
+        (reference `proof.rs` `to_keyed_proof`)."""
+        from .keyed_proof import KeyedProof
+        return KeyedProof(B_0=self.B_0, C=self.C)

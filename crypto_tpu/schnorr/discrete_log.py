@@ -34,6 +34,11 @@ class PokDiscreteLogProtocol:
     def gen_proof(self, challenge: Fp) -> "PokDiscreteLog":
         return PokDiscreteLog(t=self.t, response=self.blinding + self.witness * challenge)
 
+    def gen_partial_proof(self) -> "PartialPokDiscreteLog":
+        """For proofs whose response equals another proof's (shared witness
+        AND blinding); the verifier supplies the response."""
+        return PartialPokDiscreteLog(t=self.t)
+
 
 @dataclass
 class PokDiscreteLog:
@@ -49,6 +54,38 @@ class PokDiscreteLog:
     def verify_with_randomized_mult_checker(self, y: Point, base: Point,
                                             challenge: Fp, rmc) -> None:
         rmc.add_2(base, self.response, y, -challenge, self.t)
+
+
+@dataclass
+class PartialPokDiscreteLog:
+    """PokDiscreteLog missing its response (borrowed from a sibling proof,
+    reference `discrete_log.rs` `PartialPokDiscreteLog`)."""
+    t: Point
+
+    def challenge_contribution(self, base: Point, y: Point,
+                               writer: ByteWriter) -> None:
+        compute_challenge_contribution(base, y, self.t, writer)
+
+    def verify(self, y: Point, base: Point, challenge: Fp,
+               response: Fp) -> bool:
+        return (base * int(response) - y * int(challenge)) == self.t
+
+
+@dataclass
+class PartialPokPedersenCommitment:
+    """PokPedersenCommitment with both responses supplied externally."""
+    t: Point
+
+    def challenge_contribution(self, base1: Point, base2: Point, y: Point,
+                               writer: ByteWriter) -> None:
+        for p in (base1, base2, y, self.t):
+            writer.point(p)
+
+    def verify(self, y: Point, base1: Point, base2: Point, challenge: Fp,
+               response1: Fp, response2: Fp) -> bool:
+        lhs = base1 * int(response1) + base2 * int(response2) \
+            - y * int(challenge)
+        return lhs == self.t
 
 
 def compute_challenge_contribution(base: Point, y: Point, t: Point,
@@ -84,6 +121,9 @@ class PokPedersenCommitmentProtocol:
             response1=self.blinding1 + self.witness1 * challenge,
             response2=self.blinding2 + self.witness2 * challenge,
         )
+
+    def gen_partial_proof(self) -> "PartialPokPedersenCommitment":
+        return PartialPokPedersenCommitment(t=self.t)
 
 
 @dataclass

@@ -22,7 +22,8 @@ from ..curves.sw import Point
 from ..fields.host import Fp
 from ..serialize import ByteWriter
 from ..utils.commitment import PedersenCommitmentKey
-from .discrete_log import (PokDiscreteLog, PokDiscreteLogProtocol,
+from .discrete_log import (PartialPokPedersenCommitment, PokDiscreteLog,
+                           PokDiscreteLogProtocol,
                            PokPedersenCommitment,
                            PokPedersenCommitmentProtocol)
 
@@ -131,3 +132,77 @@ class InequalityProof:
     def response_for_value(self) -> Fp:
         """Response for m (for cross-statement equality)."""
         return self.sc_c.response1
+
+
+@dataclass
+class UnknownDiscreteLogInequalityProtocol:
+    """Prove z != y*k for witness k with y = g*k known (i.e. the prover's
+    key k does NOT explain z over base h): publish c = h*(k*beta) - z*beta
+    (nonzero iff h*k != z) and prove the same (alpha=k*beta, beta) opens
+    both c over (h, -z) and ZERO over (g, -y) — shared blindings make the
+    zero-leg responses equal the c-leg's (reference
+    `schnorr_pok/src/inequality.rs:369-556`)."""
+    c: Point
+    sc_c: PokPedersenCommitmentProtocol
+    sc_zero: PokPedersenCommitmentProtocol
+
+    @classmethod
+    def init(cls, rng, value: Fp, g: Point, h: Point, y: Point, z: Point):
+        Fv = value.f
+        beta = Fv.rand(rng)
+        alpha = value * beta
+        minus_z = (-z).normalize()
+        minus_y = (-y).normalize()
+        c = (h * int(alpha) + minus_z * int(beta)).normalize()
+        if c.is_infinity():
+            raise InequalityError("values are equal")
+        alpha_blinding, beta_blinding = Fv.rand(rng), Fv.rand(rng)
+        sc_c = PokPedersenCommitmentProtocol.init(
+            alpha, alpha_blinding, h, beta, beta_blinding, minus_z)
+        sc_zero = PokPedersenCommitmentProtocol.init(
+            alpha, alpha_blinding, g, beta, beta_blinding, minus_y)
+        return cls(c=c, sc_c=sc_c, sc_zero=sc_zero)
+
+    def challenge_contribution(self, g, h, y, z, writer: ByteWriter):
+        _unknown_dlog_contribution(self.c, self.sc_c.t, self.sc_zero.t,
+                                   g, h, y, z, writer)
+
+    def gen_proof(self, challenge: Fp) -> "UnknownDiscreteLogInequalityProof":
+        return UnknownDiscreteLogInequalityProof(
+            c=self.c, sc_c=self.sc_c.gen_proof(challenge),
+            sc_zero=self.sc_zero.gen_partial_proof())
+
+
+def _unknown_dlog_contribution(c, t_c, t_zero, g, h, y, z,
+                               writer: ByteWriter):
+    minus_z = (-z).normalize()
+    minus_y = (-y).normalize()
+    zero = g.curve.infinity()
+    writer.point(c)
+    for p in (h, minus_z, c, t_c):
+        writer.point(p)
+    for p in (g, minus_y, zero, t_zero):
+        writer.point(p)
+
+
+@dataclass
+class UnknownDiscreteLogInequalityProof:
+    c: Point
+    sc_c: PokPedersenCommitment
+    sc_zero: "PartialPokPedersenCommitment"
+
+    def challenge_contribution(self, g, h, y, z, writer: ByteWriter):
+        _unknown_dlog_contribution(self.c, self.sc_c.t, self.sc_zero.t,
+                                   g, h, y, z, writer)
+
+    def verify(self, g: Point, h: Point, y: Point, z: Point,
+               challenge: Fp) -> bool:
+        if self.c.is_infinity():
+            return False
+        minus_z = (-z).normalize()
+        minus_y = (-y).normalize()
+        if not self.sc_c.verify(self.c, h, minus_z, challenge):
+            return False
+        return self.sc_zero.verify(
+            g.curve.infinity(), g, minus_y, challenge,
+            self.sc_c.response1, self.sc_c.response2)

@@ -82,3 +82,52 @@ def test_pok_of_mac(setup):
     assert not proof.verify(revealed, c, KVACSecretKey.generate(RNG), params)
     # wrong revealed value fails
     assert not proof.verify({0: messages[0] + F(1)}, c, sk, params)
+
+
+def test_keyed_proof_validity_invalidity():
+    from crypto_tpu.kvac.keyed_proof import (KeyedProof,
+                                             PublicVerificationKey)
+    params = MACParams.new(b"kp-test", 2)
+    sk = KVACSecretKey.generate(RNG)
+    B_0 = (b.G1.generator() * 12345).normalize()
+    good = KeyedProof(B_0=B_0, C=(B_0 * int(sk.x)).normalize())
+    assert good.verify(sk.x)
+    # pairing-based public verification
+    pvk = PublicVerificationKey.new(b"kp-pvk", sk.x)
+    assert good.verify_with_public_verification_key(pvk)
+    bad = KeyedProof(B_0=B_0, C=(B_0 * 999).normalize())
+    assert not bad.verify(sk.x)
+    assert not bad.verify_with_public_verification_key(pvk)
+
+    pk = (params.g * int(sk.x)).normalize()
+    pov = good.create_proof_of_validity(RNG, sk.x, pk, params.g)
+    assert pov.verify(good, pk, params.g)
+    assert not pov.verify(bad, pk, params.g)
+
+    poi = bad.create_proof_of_invalidity(RNG, sk.x, pk, params.g)
+    assert poi.verify(bad, pk, params.g)
+    assert not poi.verify(good, pk, params.g)
+    # proving invalidity of a VALID proof must fail at init
+    import pytest as _pytest
+    from crypto_tpu.schnorr.inequality import InequalityError
+    with _pytest.raises(InequalityError):
+        good.create_proof_of_invalidity(RNG, sk.x, pk, params.g)
+
+
+def test_bbdt16_to_keyed_proof():
+    params = MACParams.new(b"kvac-kp", 3)
+    sk = KVACSecretKey.generate(RNG)
+    messages = [F.rand(RNG) for _ in range(3)]
+    mac = MAC.new(RNG, messages, sk, params)
+    mbs = [MessageOrBlinding.blind_randomly(m) for m in messages]
+    prot = PoKOfMACProtocol.init(RNG, mac, params, mbs)
+    w = ByteWriter()
+    prot.challenge_contribution({}, params, w)
+    chal = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(chal)
+    kp = proof.to_keyed_proof()
+    assert kp.verify(sk.x)
+    pov = kp.create_proof_of_validity(RNG, sk.x,
+                                      (params.g * int(sk.x)).normalize(),
+                                      params.g)
+    assert pov.verify(kp, (params.g * int(sk.x)).normalize(), params.g)
