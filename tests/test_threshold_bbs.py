@@ -166,3 +166,32 @@ def test_threshold_weak_bb():
     }
     sig = run_threshold_weak_bb(RNG, signers, message, g1)
     assert sig.verify(message, pk, g1, g2)
+
+
+def test_kos_ote_consistency_and_correlation():
+    from crypto_tpu.ot.ot_extension import setup_ote_pair
+    from crypto_tpu.ot.kos_ote import (KOSReceiverSetup, KOSSenderSetup,
+                                       OTError)
+    g = b.G1.generator()
+    sender, receiver = setup_ote_pair(RNG, g)
+    m = 16
+    choices = [RNG.randrange(2) for _ in range(m)]
+    recv_setup, U, rlc = KOSReceiverSetup.new(RNG, receiver, choices)
+    send_setup = KOSSenderSetup.new(sender, m, U, rlc)
+
+    alpha = [(F.rand(RNG), F.rand(RNG)) for _ in range(m)]
+    t_A, tau = send_setup.transfer(alpha)
+    t_B = recv_setup.receive(tau)
+    for i in range(m):
+        want = (alpha[i][0] * F(choices[i]), alpha[i][1] * F(choices[i]))
+        assert t_A[i][0] + t_B[i][0] == want[0]
+        assert t_A[i][1] + t_B[i][1] == want[1]
+
+    # a tampered RLC must be caught by the consistency check
+    import numpy as np
+    bad_rlc = type(rlc)(x=rlc.x, t=bytes([rlc.t[0] ^ 1]) + rlc.t[1:])
+    try:
+        KOSSenderSetup.new(sender, m, U, bad_rlc)
+        assert False, "consistency check should fail"
+    except OTError:
+        pass
