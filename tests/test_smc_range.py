@@ -62,3 +62,84 @@ def test_perfect_range():
     # proof doesn't verify against a different commitment
     comm2 = ck.commit(F(value + 1), r)
     assert not proof.verify(comm2, c, max_val, ck, params)
+
+
+def test_ccs_arbitrary_range():
+    from crypto_tpu.smc_range_proof.ranges_extra import (
+        CCSArbitraryRangeProtocol)
+    base = 4
+    params = SetMembershipCheckParams.new_for_range_proof(
+        RNG, b"ccs-arb", base)
+    ck = MemberCommitmentKey.new(b"ccs-arb-ck")
+    value, lo, hi = 513, 100, 1000
+    r = F.rand(RNG)
+    commitment = ck.commit(F(value), r)
+    prot = CCSArbitraryRangeProtocol.init(RNG, value, r, lo, hi, base, ck,
+                                          params)
+    w = ByteWriter()
+    prot.challenge_contribution(commitment, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    w2 = ByteWriter()
+    proof.challenge_contribution(commitment, ck, params, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+    assert proof.verify(commitment, c, lo, hi, ck, params)
+    assert not proof.verify(commitment, c, lo, 512, ck, params)
+    other = ck.commit(F(value + 1), r)
+    assert not proof.verify(other, c, lo, hi, ck, params)
+    # out-of-range value rejected at init
+    try:
+        CCSArbitraryRangeProtocol.init(RNG, 50, r, lo, hi, base, ck, params)
+        assert False
+    except Exception:
+        pass
+
+
+def test_cls_sumset_range():
+    from crypto_tpu.smc_range_proof.ranges_extra import (
+        CLSRangeProtocol, decompose_for_sumset, find_number_of_digits,
+        find_sumset_boundaries)
+    # sumset decomposition sanity (reference `util.rs` sumsets_check)
+    for base in (2, 3, 5, 10):
+        rng = random.Random(base)
+        for _ in range(10):
+            mx = rng.randrange(2, 1 << 32) * (base - 1) if base > 2 \
+                else rng.randrange(2, 1 << 32)
+            l = find_number_of_digits(mx, base)
+            G = find_sumset_boundaries(mx, base, l)
+            for v in {0, 1, mx, mx - 1, rng.randrange(mx)}:
+                sigma = decompose_for_sumset(v, G, base)
+                assert sum(s * g for s, g in zip(sigma, G)) == v
+                assert all(s < base for s in sigma)
+
+    base = 5
+    params = SetMembershipCheckParams.new_for_range_proof(
+        RNG, b"cls", base)
+    ck = MemberCommitmentKey.new(b"cls-ck")
+    value, lo, hi = 7777, 1000, 20000
+    r = F.rand(RNG)
+    commitment = ck.commit(F(value), r)
+    prot = CLSRangeProtocol.init(RNG, value, r, lo, hi, base, ck, params)
+    w = ByteWriter()
+    prot.challenge_contribution(commitment, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(commitment, c, lo, hi, ck, params)
+    assert not proof.verify(commitment, c, lo + 1, hi, ck, params)
+
+
+def test_bpp_arbitrary_range():
+    from crypto_tpu.bulletproofs_pp.range_proof import SetupParams
+    from crypto_tpu.bulletproofs_pp.arbitrary_range import (
+        ProofArbitraryRange)
+    from crypto_tpu.transcript.transcript import Transcript
+    bpp = SetupParams.new_for_perfect_range_proof(b"bpp-arb", 2, 16, 4)
+    vb = [(100, 50, 200), (65000, 60000, 65536)]
+    rand = [b.Fr.rand(RNG) for _ in range(4)]
+    proof = ProofArbitraryRange.new(RNG, 16, vb, rand, bpp,
+                                    Transcript(b"arb"))
+    assert proof.verify(16, bpp, Transcript(b"arb"))
+    assert not proof.verify(16, bpp, Transcript(b"other"))
+    comms = proof.get_commitments_to_values([(50, 200), (60000, 65536)], bpp)
+    # lower-leg recovered commitment opens to (v, r)
+    assert comms[0][0] == (bpp.G * 100 + bpp.H_vec[0] * int(rand[0])).normalize()
