@@ -102,7 +102,8 @@ class PoKBBSigProtocol:
 
     @classmethod
     def init(cls, rng, sig: BBSig, message: Fp, params: BBSigParams,
-             m_blinding: Optional[Fp] = None):
+             m_blinding: Optional[Fp] = None,
+             r_blinding: Optional[Fp] = None):
         rho = F.rand_nonzero(rng)
         A_prime = (sig.A * int(rho)).normalize()
         A_r = (A_prime * int(sig.r)).normalize()
@@ -111,7 +112,9 @@ class PoKBBSigProtocol:
             [params.g1, (-A_prime).normalize()],
             [F.rand(rng),
              m_blinding if m_blinding is not None else F.rand(rng)])
-        sc2 = SchnorrCommitment.new([A_prime], [F.rand(rng)])
+        sc2 = SchnorrCommitment.new(
+            [A_prime],
+            [r_blinding if r_blinding is not None else F.rand(rng)])
         return cls(A_prime=A_prime, A_r=A_r, A_bar=A_bar, sc1=sc1, sc2=sc2,
                    wits1=[rho, message], wits2=[sig.r])
 
