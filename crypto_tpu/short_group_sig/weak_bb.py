@@ -24,6 +24,8 @@ from ..serialize import ByteWriter
 from ..schnorr.discrete_log import (PokPedersenCommitment,
                                     PokPedersenCommitmentProtocol)
 
+F = bls.Fr
+
 
 @dataclass
 class WeakBBSecretKey:
@@ -122,4 +124,62 @@ class PoKWeakBBSig:
         return True
 
     def get_resp_for_message(self) -> Fp:
+        return self.sc.response2
+
+
+@dataclass
+class PoKWeakBBSigKVProtocol:
+    """Keyed-verification PoK of weak-BB (reference
+    `weak_bb_sig_pok_kv.rs`): A' = A*r, A_bar = g1*r - A'*m; the verifier
+    holds the secret key and checks A_bar == A'*x plus one Pedersen-style
+    Schnorr over bases (g1, -A') — no pairings anywhere."""
+    A_prime: Point
+    A_bar: Point
+    sc: PokPedersenCommitmentProtocol
+
+    @classmethod
+    def init(cls, rng, signature: "WeakBBSig", message: Fp, g1: Point,
+             blinding: Fp = None):
+        sig_randomizer = F.rand_nonzero(rng)
+        msg_blinding = blinding if blinding is not None else F.rand(rng)
+        A_prime = (signature.A * int(sig_randomizer)).normalize()
+        A_prime_neg = (-A_prime).normalize()
+        A_bar = (g1 * int(sig_randomizer)
+                 + A_prime_neg * int(message)).normalize()
+        sc = PokPedersenCommitmentProtocol.init(
+            sig_randomizer, F.rand(rng), g1, message, msg_blinding,
+            A_prime_neg)
+        return cls(A_prime=A_prime, A_bar=A_bar, sc=sc)
+
+    def challenge_contribution(self, g1: Point, writer: ByteWriter):
+        writer.point(self.A_bar)
+        writer.point(self.A_prime)
+        writer.point(g1)
+        writer.point(self.sc.t)
+
+    def gen_proof(self, challenge: Fp) -> "PoKWeakBBSigKV":
+        return PoKWeakBBSigKV(A_prime=self.A_prime, A_bar=self.A_bar,
+                              sc=self.sc.gen_proof(challenge))
+
+
+@dataclass
+class PoKWeakBBSigKV:
+    A_prime: Point
+    A_bar: Point
+    sc: PokPedersenCommitment
+
+    def challenge_contribution(self, g1: Point, writer: ByteWriter):
+        writer.point(self.A_bar)
+        writer.point(self.A_prime)
+        writer.point(g1)
+        writer.point(self.sc.t)
+
+    def verify(self, challenge: Fp, secret_key: "WeakBBSecretKey",
+               g1: Point) -> bool:
+        if self.A_bar != (self.A_prime * int(secret_key.x)).normalize():
+            return False
+        return self.sc.verify(self.A_bar, g1,
+                              (-self.A_prime).normalize(), challenge)
+
+    def response_for_message(self) -> Fp:
         return self.sc.response2

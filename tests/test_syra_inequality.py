@@ -103,3 +103,44 @@ def test_partial_schnorr_response():
     bad = dict(missing)
     bad[1] = bad[1] + F(1)
     assert not partial.is_valid(bases, y, comm.t, c, bad)
+
+
+def test_weak_bb_kv_pok():
+    from crypto_tpu.short_group_sig.weak_bb import (
+        WeakBBSecretKey, WeakBBSig, PoKWeakBBSigKVProtocol)
+    from crypto_tpu.hashing import (compute_random_oracle_challenge,
+                                    group_elem_from_try_and_incr)
+    from crypto_tpu.serialize import ByteWriter
+    g1 = group_elem_from_try_and_incr(b.G1, b"kv-g1").normalize()
+    sk = WeakBBSecretKey.generate(RNG)
+    m = F.rand(RNG)
+    sig = WeakBBSig.new(m, sk, g1)
+    prot = PoKWeakBBSigKVProtocol.init(RNG, sig, m, g1)
+    w = ByteWriter()
+    prot.challenge_contribution(g1, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(c, sk, g1)
+    other = WeakBBSecretKey.generate(RNG)
+    assert not proof.verify(c, other, g1)
+
+
+def test_one_of_n_proof():
+    from crypto_tpu.delegatable_credentials.one_of_n import (OneOfNProof,
+                                                             OneOfNSrs)
+    from crypto_tpu.hashing import group_elem_from_try_and_incr
+    P1 = group_elem_from_try_and_incr(b.G1, b"oon-p1").normalize()
+    srs, _ = OneOfNSrs.new(RNG, P1)
+    m, n_decoys = 2, 3
+    g2 = b.G2.generator()
+    mk_seq = lambda: [(g2 * int(F.rand(RNG))).normalize() for _ in range(m)]
+    actual = mk_seq()
+    decoys = [mk_seq() for _ in range(n_decoys)]
+    w_scalar = F.rand(RNG)
+    instance = [(p * int(w_scalar)).normalize() for p in actual]
+    proof = OneOfNProof.new(RNG, actual, decoys, instance, w_scalar, srs, P1)
+    assert proof.verify([actual] + decoys, instance, srs, P1)
+    # instance not derived from any sequence fails
+    bad_instance = [(p * int(F.rand(RNG))).normalize() for p in actual]
+    proof2 = OneOfNProof.new(RNG, actual, decoys, instance, w_scalar, srs, P1)
+    assert not proof2.verify([actual] + decoys, bad_instance, srs, P1)
