@@ -70,10 +70,18 @@ class PoKWeakBBSigProtocol:
     @classmethod
     def init(cls, rng, signature: WeakBBSig | Point, message: Fp, g1: Point,
              blinding: Optional[Fp] = None) -> "PoKWeakBBSigProtocol":
+        return cls.init_with_given_randomness(
+            bls.Fr.rand(rng),
+            blinding if blinding is not None else bls.Fr.rand(rng),
+            bls.Fr.rand(rng), signature, message, g1)
+
+    @classmethod
+    def init_with_given_randomness(cls, r: Fp, m_blinding: Fp,
+                                   r_blinding: Fp,
+                                   signature: WeakBBSig | Point,
+                                   message: Fp,
+                                   g1: Point) -> "PoKWeakBBSigProtocol":
         A = signature.A if isinstance(signature, WeakBBSig) else signature
-        r = bls.Fr.rand(rng)
-        r_blinding = bls.Fr.rand(rng)
-        m_blinding = blinding if blinding is not None else bls.Fr.rand(rng)
         A_prime = A * int(r)
         A_prime_neg = (-A_prime).normalize()
         A_bar = (g1 * int(r) + A_prime_neg * int(message)).normalize()

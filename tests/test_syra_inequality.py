@@ -144,3 +144,34 @@ def test_one_of_n_proof():
     bad_instance = [(p * int(F.rand(RNG))).normalize() for p in actual]
     proof2 = OneOfNProof.new(RNG, actual, decoys, instance, w_scalar, srs, P1)
     assert not proof2.verify([actual] + decoys, bad_instance, srs, P1)
+
+
+def test_syra_pseudonym_alt():
+    from crypto_tpu.syra.core import (IssuerPublicKey, IssuerSecretKey,
+                                      SyraSetupParams, UserSecretKey,
+                                      hash_context_to_z)
+    from crypto_tpu.syra.pseudonym_alt import PseudonymGenProtocolAlt
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+    from crypto_tpu.serialize import ByteWriter
+    params = SyraSetupParams.new(b"syra-alt")
+    isk = IssuerSecretKey.generate(RNG)
+    ipk = IssuerPublicKey.new(isk, params)
+    user_id = F.rand(RNG)
+    usk = UserSecretKey.issue(user_id, isk, params)
+    Z = hash_context_to_z(b"alt-context")
+    prot = PseudonymGenProtocolAlt.init(RNG, Z, user_id, usk, params)
+    w = ByteWriter()
+    prot.challenge_contribution(Z, ipk, params.g, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    w2 = ByteWriter()
+    proof.challenge_contribution(Z, ipk, params.g, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+    assert proof.verify(c, Z, ipk, params)
+    # different context -> same check fails (wrong Z)
+    Z2 = hash_context_to_z(b"other-context")
+    assert not proof.verify(c, Z2, ipk, params)
+    # wrong issuer fails
+    isk2 = IssuerSecretKey.generate(RNG)
+    ipk2 = IssuerPublicKey.new(isk2, params)
+    assert not proof.verify(c, Z, ipk2, params)
