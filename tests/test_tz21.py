@@ -53,3 +53,25 @@ def test_dkgith_roundtrip():
     compressed = proof.compress(subset_size=3)
     dec = compressed.decrypt(sk, Y, gens)
     assert dec == witnesses
+
+
+def test_rdkgith_roundtrip():
+    from crypto_tpu.verifiable_encryption.rdkgith import RdkgithProof
+    from crypto_tpu.hashing import n_group_elements
+    wc = 3
+    gens = [p.normalize() for p in
+            n_group_elements(b.G1, 0, wc, b"rdk-ck")]
+    enc_gen = b.G1.generator()
+    sk, pk = keygen(RNG, enc_gen)
+    witnesses = [F.rand(RNG) for _ in range(wc)]
+    commitment = msm(gens, witnesses).normalize()
+
+    proof = RdkgithProof.new(RNG, witnesses, gens, pk, enc_gen,
+                             num_parties=8, threshold=5)
+    assert proof.verify(commitment, gens, pk, enc_gen)
+    bad = msm(gens, [witnesses[0] + F(1)] + witnesses[1:]).normalize()
+    assert not proof.verify(bad, gens, pk, enc_gen)
+
+    compressed = proof.compress(subset_size=2)
+    dec = compressed.decrypt(sk, commitment, gens)
+    assert dec == witnesses
