@@ -45,3 +45,39 @@ def test_partial_knowledge():
     # tampered response fails
     proof.responses[0] = proof.responses[0] + F(1)
     assert not proof.verify(n, k, bases, pubs, Transcript(b"pk"))
+
+
+def test_compressed_homomorphism():
+    from crypto_tpu.compressed_sigma.homomorphism import (
+        HomRandomCommitment, MSMHomomorphism)
+    from crypto_tpu.hashing import n_group_elements
+    n = 8
+    g = [p.normalize() for p in n_group_elements(b.G1, 0, n, b"ch-g")]
+    h = [p.normalize() for p in n_group_elements(b.G1, 0, n, b"ch-h")]
+    f = MSMHomomorphism(h)
+    x = [F.rand(RNG) for _ in range(n)]
+    P = msm(g, x).normalize()
+    y = f.eval(x)
+    rc = HomRandomCommitment.new(RNG, g, f)
+    c = F.rand(RNG)
+    resp = rc.response(g, f, x, c)
+    assert resp.is_valid(g, P, y, f, rc.A_hat, rc.t, c)
+    assert not resp.is_valid(g, P, (y * 2).normalize(), f, rc.A_hat, rc.t, c)
+    assert not resp.is_valid(g, P, y, f, rc.A_hat, rc.t, c + F(1))
+
+
+def test_amortized_homomorphism():
+    from crypto_tpu.compressed_sigma.homomorphism import (
+        AmortizedHomProof, MSMHomomorphism)
+    from crypto_tpu.hashing import n_group_elements
+    n, s = 4, 3
+    g = [p.normalize() for p in n_group_elements(b.G1, 0, n, b"ah-g")]
+    h = [p.normalize() for p in n_group_elements(b.G1, 0, n, b"ah-h")]
+    f = MSMHomomorphism(h)
+    xs = [[F.rand(RNG) for _ in range(n)] for _ in range(s)]
+    Ps = [msm(g, x).normalize() for x in xs]
+    ys = [f.eval(x) for x in xs]
+    proof = AmortizedHomProof.new(RNG, xs, g, f, b"seed")
+    assert proof.verify(Ps, ys, g, f, b"seed")
+    assert not proof.verify(Ps, list(reversed(ys)), g, f, b"seed")
+    assert not proof.verify(Ps, ys, g, f, b"other-seed")
