@@ -75,3 +75,47 @@ def bit_transpose_native(matrix, rows: int, cols: int):
     lib.bit_transpose(packed, out, rows, cols)
     arr = np.frombuffer(out.raw, dtype=np.uint8).reshape(cols, rows // 8)
     return np.unpackbits(arr, axis=1)[:, :rows]
+
+
+# ---------------------------------------------------------------------------
+# WASM interpreter (circom witness generation, SURVEY.md §2.3 item 2)
+# ---------------------------------------------------------------------------
+
+_WASM_SRC = os.path.join(_HERE, "wasm_interp.cpp")
+_WASM_LIB = os.path.join(_HERE, "libcrypto_tpu_wasm.so")
+_wasm_lib = None
+_wasm_tried = False
+
+
+def get_wasm_lib():
+    """The WASM interpreter shared library, or None if unavailable."""
+    global _wasm_lib, _wasm_tried
+    if _wasm_lib is not None or _wasm_tried:
+        return _wasm_lib
+    _wasm_tried = True
+    if not os.path.exists(_WASM_LIB) or \
+            os.path.getmtime(_WASM_LIB) < os.path.getmtime(_WASM_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                 "-o", _WASM_LIB, _WASM_SRC],
+                check=True, capture_output=True, timeout=180)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_WASM_LIB)
+        lib.wasm_load.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_char_p, ctypes.c_int]
+        lib.wasm_load.restype = ctypes.c_void_p
+        lib.wasm_call.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.wasm_call.restype = ctypes.c_int
+        lib.wasm_last_error.argtypes = [ctypes.c_void_p]
+        lib.wasm_last_error.restype = ctypes.c_char_p
+        lib.wasm_free.argtypes = [ctypes.c_void_p]
+        _wasm_lib = lib
+    except Exception:
+        _wasm_lib = None
+    return _wasm_lib

@@ -30,7 +30,6 @@ from .ot_extension import OTEReceiver, OTESender, _transpose_bits
 from .prg import KAPPA, bits_to_bytes, prg_bits
 
 F = bls.Fr
-ROW_BYTES = KAPPA // 8
 
 
 class OTError(Exception):
@@ -43,11 +42,13 @@ class RLC:
     t: bytes
 
 
-def _gen_randomness(num_base: int, l_prime: int, U_bytes: bytes) -> np.ndarray:
+def _gen_randomness(num_base: int, l_prime: int,
+                    U_bytes: bytes) -> np.ndarray:
     """chi matrix via SHAKE-256 over U (reference `gen_randomness`)."""
+    row_bytes = num_base // 8
     seed = num_base.to_bytes(4, "big") + l_prime.to_bytes(4, "big") + U_bytes
-    out = hashlib.shake_256(seed).digest(l_prime * ROW_BYTES)
-    return np.frombuffer(out, dtype=np.uint8).reshape(l_prime, ROW_BYTES)
+    out = hashlib.shake_256(seed).digest(l_prime * row_bytes)
+    return np.frombuffer(out, dtype=np.uint8).reshape(l_prime, row_bytes)
 
 
 def _rows_to_bytes(M_bits: np.ndarray) -> np.ndarray:
@@ -74,6 +75,7 @@ class KOSReceiverSetup:
         """Returns (setup, U bit-matrix to send, RLC to send)."""
         if statistical_security % 8:
             raise OTError("security parameter must be a multiple of 8")
+        KAPPA = receiver.kappa
         base = np.asarray(choices, dtype=np.uint8)
         ext = np.array([rng.randrange(2)
                         for _ in range(KAPPA + statistical_security)],
@@ -90,8 +92,9 @@ class KOSReceiverSetup:
         T_rows = _rows_to_bytes(_transpose_bits(T))
         U_bytes = _rows_to_bytes(U).tobytes()
         chi = _gen_randomness(KAPPA, l_prime, U_bytes)
-        x = np.zeros(ROW_BYTES, dtype=np.uint8)
-        t = np.zeros(ROW_BYTES, dtype=np.uint8)
+        row_bytes = KAPPA // 8
+        x = np.zeros(row_bytes, dtype=np.uint8)
+        t = np.zeros(row_bytes, dtype=np.uint8)
         for i in range(l_prime):
             if x_all[i]:
                 x ^= chi[i]
@@ -125,10 +128,12 @@ class KOSSenderSetup:
             statistical_security: int = 64):
         if statistical_security % 8:
             raise OTError("security parameter must be a multiple of 8")
+        KAPPA = sender.kappa
+        row_bytes = KAPPA // 8
         l_prime = num_ot + KAPPA + statistical_security
         if U.shape != (KAPPA, l_prime):
             raise OTError("bad U shape")
-        if len(rlc.x) != ROW_BYTES or len(rlc.t) != ROW_BYTES:
+        if len(rlc.x) != row_bytes or len(rlc.t) != row_bytes:
             raise OTError("bad RLC size")
         Q = np.zeros((KAPPA, l_prime), dtype=np.uint8)
         for i in range(KAPPA):
@@ -139,7 +144,7 @@ class KOSSenderSetup:
         Q_rows = _rows_to_bytes(_transpose_bits(Q))
         U_bytes = _rows_to_bytes(U).tobytes()
         chi = _gen_randomness(KAPPA, l_prime, U_bytes)
-        q = np.zeros(ROW_BYTES, dtype=np.uint8)
+        q = np.zeros(row_bytes, dtype=np.uint8)
         for i in range(l_prime):
             q ^= Q_rows[i] & chi[i]
         s_row = np.packbits(sender.s_bits, bitorder="little")

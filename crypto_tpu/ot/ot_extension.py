@@ -57,9 +57,14 @@ class OTESender:
         return cls(s_bits=np.asarray(base_choices, dtype=np.uint8),
                    seeds=list(base_keys))
 
+    @property
+    def kappa(self) -> int:
+        return len(self.seeds)
+
     def process(self, m: int, U: np.ndarray):
         """U: (kappa, m) bit matrix from receiver. Returns row keys:
         [(k0_j, k1_j)] for j < m."""
+        KAPPA = self.kappa
         Q = np.zeros((KAPPA, m), dtype=np.uint8)
         for i in range(KAPPA):
             qi = prg_bits(self.seeds[i], m)
@@ -81,9 +86,14 @@ class OTEReceiver:
     """Extension receiver; holds all base seed pairs."""
     seed_pairs: list             # kappa pairs (k0, k1)
 
+    @property
+    def kappa(self) -> int:
+        return len(self.seed_pairs)
+
     def process(self, choices: np.ndarray):
         """choices: (m,) bits. Returns (U matrix to send, derived keys)."""
         m = len(choices)
+        KAPPA = self.kappa
         x = np.asarray(choices, dtype=np.uint8)
         T = np.zeros((KAPPA, m), dtype=np.uint8)
         U = np.zeros((KAPPA, m), dtype=np.uint8)
@@ -97,13 +107,13 @@ class OTEReceiver:
         return U, keys
 
 
-def setup_ote_pair(rng, g, seed_rng=None):
+def setup_ote_pair(rng, g, seed_rng=None, kappa: int = KAPPA):
     """In-process base-OT phase for one ordered pair: returns
     (OTESender for party A, OTEReceiver for party B)."""
     from .base_ot import do_base_ots
     import random as _random
     r = seed_rng or rng
-    base_choices = [r.randrange(2) for _ in range(KAPPA)]
+    base_choices = [r.randrange(2) for _ in range(kappa)]
     pairs, chosen = do_base_ots(rng, g, base_choices)
     # party B was base-OT sender (has pairs) -> becomes extension receiver
     # party A was base-OT receiver (has chosen keys) -> extension sender

@@ -58,3 +58,50 @@ def test_prove_multiply2_circuit():
     assert snark.verify_proof(pvk, proof, [out])
     assert not snark.verify_proof(pvk, proof, [out + F(1)])
     assert committed == [a_val]
+
+
+WASM_OK = True
+try:
+    from crypto_tpu.native import get_wasm_lib
+    WASM_OK = get_wasm_lib() is not None
+except Exception:
+    WASM_OK = False
+
+
+@pytest.mark.skipif(not WASM_OK, reason="native WASM interpreter unavailable")
+def test_wasm_witness_calculator():
+    """Drive the circom-emitted .wasm through the C++ WASM interpreter
+    (the reference's wasmer slot, `circom/witness.rs`)."""
+    from crypto_tpu.legogroth16.witness import WitnessCalculator
+    wc = WitnessCalculator.from_file(os.path.join(VECTORS, "multiply2.wasm"))
+    a_val, b_val = F(1234), F(5678)
+    wires = wc.calculate_witnesses({"a": [a_val], "b": [b_val]})
+    assert wires == [F(1), a_val * b_val, a_val, b_val]
+    # wrong signal name is rejected
+    with pytest.raises(Exception):
+        wc.calculate_witnesses({"a": [a_val], "c": [b_val]})
+
+
+@pytest.mark.skipif(not WASM_OK, reason="native WASM interpreter unavailable")
+@pytest.mark.slow
+def test_wasm_witness_to_legogroth16_proof():
+    """Full pipeline: .r1cs + .wasm -> witness -> LegoGroth16 proof, for a
+    nontrivial circuit (mimc hash, 2922 wires)."""
+    from crypto_tpu.legogroth16.witness import WitnessCalculator
+    r = parse_r1cs(os.path.join(VECTORS, "mimc_bls12_381.r1cs"))
+    wc = WitnessCalculator.from_file(
+        os.path.join(VECTORS, "mimc_bls12_381.wasm"))
+    inputs = {"in": [F.rand(RNG) for _ in range(8)], "k": [F(7)]}
+    wires = wc.calculate_witnesses(inputs, sanity_check=True)
+    assert len(wires) == r.n_wires
+
+    cs = ConstraintSystem(F, mode="prove")
+    circom_circuit(r, wire_assignment=wires)(cs)
+    assert cs.is_satisfied()
+
+    pk = snark.generate_random_parameters(circom_circuit(r), 2, RNG)
+    proof, v, committed = snark.create_proof(
+        circom_circuit(r, wire_assignment=wires), pk, RNG)
+    pvk = snark.PreparedVerifyingKey.from_vk(pk.vk)
+    assert snark.verify_proof(pvk, proof, [wires[1]])
+    assert not snark.verify_proof(pvk, proof, [wires[1] + F(1)])

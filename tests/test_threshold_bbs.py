@@ -195,3 +195,41 @@ def test_kos_ote_consistency_and_correlation():
         assert False, "consistency check should fail"
     except OTError:
         pass
+
+
+@pytest.mark.slow
+def test_dkls18_two_party_multiplication():
+    from crypto_tpu.ot.ot_extension import setup_ote_pair
+    from crypto_tpu.ot.dkls import (GadgetVector, MultiplicationOTEParams,
+                                    Party1, Party2)
+    g = b.G1.generator()
+    params = MultiplicationOTEParams(kappa=256, ssp=80)
+    gadget = GadgetVector.new(params, b"dkls-test")
+    sender, receiver = setup_ote_pair(RNG, g, kappa=256)
+    alpha, beta = F.rand(RNG), F.rand(RNG)
+    p1 = Party1.new(RNG, alpha, sender, params)
+    p2, U, kos_rlc = Party2.new(RNG, beta, receiver, gadget, params)
+    share1, tau, rlc = p1.receive(U, kos_rlc, gadget)
+    share2 = p2.receive(tau, rlc, gadget)
+    assert share1 + share2 == alpha * beta
+
+
+@pytest.mark.slow
+def test_dkls19_batch_multiplication():
+    from crypto_tpu.ot.ot_extension import setup_ote_pair
+    from crypto_tpu.ot.dkls import (GadgetVector, MultiplicationOTEParams,
+                                    batch_mul_party1, batch_mul_party2_round1,
+                                    batch_mul_party2_round2)
+    g = b.G1.generator()
+    params = MultiplicationOTEParams(kappa=256, ssp=80)
+    gadget = GadgetVector.new(params, b"dkls19-test")
+    sender, receiver = setup_ote_pair(RNG, g, kappa=256)
+    alpha = F.rand(RNG)
+    betas = [F.rand(RNG) for _ in range(2)]
+    state, U, kos_rlc = batch_mul_party2_round1(RNG, betas, receiver,
+                                                gadget, params)
+    shares1, tau, rlc = batch_mul_party1(RNG, alpha, len(betas), U, kos_rlc,
+                                         sender, gadget, params)
+    shares2 = batch_mul_party2_round2(state, tau, rlc, gadget, params)
+    for s1, s2, beta in zip(shares1, shares2, betas):
+        assert s1 + s2 == alpha * beta
