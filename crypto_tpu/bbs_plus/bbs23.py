@@ -184,3 +184,91 @@ class PoKOfSignature23G1:
             return True
         return bls.multi_pairing([(self.A_bar, pk.w),
                                   (-self.B_bar, params.g2)]).is_one()
+
+
+# ---------------------------------------------------------------------------
+# IETF-draft-compatible PoK structure (reference `proof_23_ietf.rs`): one
+# Schnorr relation over (hidden h_i, A_bar, B_bar) with witnesses
+# (m_i, -e/r, -1/r) against the target -(sum revealed h_i*m_i) - g1, since
+# A_bar*(-e/r) + B_bar*(-1/r) = -b.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PoKOfSignature23IETFProtocol:
+    A_bar: Point
+    B_bar: Point
+    sc: SchnorrCommitment
+    sc_wits: list
+    hidden_indices: list
+
+    @classmethod
+    def init(cls, rng, signature: Signature23G1,
+             params: SignatureParams23G1, messages, revealed_indices: set,
+             blindings: Optional[dict] = None):
+        blindings = blindings or {}
+        r = F.rand_nonzero(rng)
+        minus_r_inv = -r.inverse()
+        minus_r_inv_e = minus_r_inv * signature.e
+        hidden = [i for i in range(len(messages))
+                  if i not in revealed_indices]
+        b_pt = params.commitment_to_messages(list(enumerate(messages)))
+        A_bar = (signature.A * int(r)).normalize()
+        B_bar = (b_pt * int(r) - A_bar * int(signature.e)).normalize()
+        bases = [params.h[i] for i in hidden] + [A_bar, B_bar]
+        wits = [messages[i] for i in hidden] + [minus_r_inv_e, minus_r_inv]
+        randomness = [blindings.get(i, F.rand(rng)) for i in hidden] + \
+            [F.rand(rng), F.rand(rng)]
+        return cls(A_bar=A_bar, B_bar=B_bar,
+                   sc=SchnorrCommitment.new(bases, randomness),
+                   sc_wits=wits, hidden_indices=hidden)
+
+    def challenge_contribution(self, revealed_msgs: dict,
+                               params: SignatureParams23G1,
+                               writer: ByteWriter):
+        _pok23_contribution(self.A_bar, self.B_bar, self.sc.t,
+                            revealed_msgs, params, writer)
+
+    def gen_proof(self, challenge: Fp) -> "PoKOfSignature23IETF":
+        return PoKOfSignature23IETF(
+            A_bar=self.A_bar, B_bar=self.B_bar, t=self.sc.t,
+            response=self.sc.response(self.sc_wits, challenge),
+            hidden_indices=self.hidden_indices)
+
+
+@dataclass
+class PoKOfSignature23IETF:
+    A_bar: Point
+    B_bar: Point
+    t: Point
+    response: SchnorrResponse
+    hidden_indices: list
+
+    def challenge_contribution(self, revealed_msgs: dict,
+                               params: SignatureParams23G1,
+                               writer: ByteWriter):
+        _pok23_contribution(self.A_bar, self.B_bar, self.t, revealed_msgs,
+                            params, writer)
+
+    def verify(self, revealed_msgs: dict, challenge: Fp,
+               pk: PublicKey23G2, params: SignatureParams23G1,
+               pairing_checker=None) -> bool:
+        if self.A_bar.is_infinity():
+            return False
+        bases = [params.h[i] for i in self.hidden_indices] + \
+            [self.A_bar, self.B_bar]
+        pr = -params.g1
+        for j, m in sorted(revealed_msgs.items()):
+            pr = pr - params.h[j] * int(m)
+        if not self.response.is_valid(bases, pr.normalize(), self.t,
+                                      challenge):
+            return False
+        if pairing_checker is not None:
+            pairing_checker.add_sources(self.A_bar, pk.w, self.B_bar,
+                                        params.g2)
+            return True
+        return bls.multi_pairing([
+            (self.A_bar, pk.w),
+            ((-self.B_bar).normalize(), params.g2)]).is_one()
+
+    def get_resp_for_message(self, idx_in_hidden: int) -> Fp:
+        return self.response.get_response(idx_in_hidden)

@@ -360,6 +360,10 @@ def _auto_window(n: int) -> int:
     # c capped at 12: 2^12 buckets keep the weighted-reduction graphs small
     # enough for the (slow, remote) TPU compile path; the extra windows cost
     # ~15% more adds at 2^20 but compile time dominates iteration speed.
+    import os
+    override = os.environ.get("CRYPTO_TPU_MSM_WINDOW")
+    if override:
+        return int(override)
     if n < 64:
         return 4
     if n < 1 << 12:

@@ -76,3 +76,33 @@ def test_message_equality_across_signatures():
     i1 = pr1.hidden_indices.index(2) + 1
     i2 = pr2.hidden_indices.index(2) + 1
     assert pr1.response.get_response(i1) == pr2.response.get_response(i2)
+
+
+def test_bbs23_ietf_pok():
+    from crypto_tpu.bbs_plus.bbs23 import (PoKOfSignature23IETFProtocol)
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+    n = 5
+    params = SignatureParams23G1.new(b"bbs23-ietf", n)
+    sk = SecretKey.generate(RNG)
+    pk = PublicKey23G2.generate(sk, params)
+    messages = [F.rand(RNG) for _ in range(n)]
+    sig = Signature23G1.new(RNG, messages, sk, params)
+    revealed = {0: messages[0], 3: messages[3]}
+    prot = PoKOfSignature23IETFProtocol.init(RNG, sig, params, messages,
+                                             set(revealed))
+    w = ByteWriter()
+    prot.challenge_contribution(revealed, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    w2 = ByteWriter()
+    proof.challenge_contribution(revealed, params, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+    assert proof.verify(revealed, c, pk, params)
+    bad = dict(revealed)
+    bad[0] = revealed[0] + F(1)
+    assert not proof.verify(bad, c, pk, params)
+    from crypto_tpu.utils.checkers import RandomizedPairingChecker
+    ck = RandomizedPairingChecker(F.rand(RNG), lazy=True)
+    assert proof.verify(revealed, c, pk, params, pairing_checker=ck)
+    assert ck.verify()
