@@ -58,27 +58,41 @@ class MercurialSignature:
 
     @classmethod
     def new(cls, rng, messages: list, sk: MercurialSecretKey):
-        assert len(messages) == len(sk.x)
-        y = F.rand_nonzero(rng)
+        return cls.new_with_given_randomness(
+            F.rand_nonzero(rng).inverse(), messages, sk)
+
+    @classmethod
+    def new_with_given_randomness(cls, y_inv: Fp, messages: list,
+                                  sk: MercurialSecretKey, P1: Point = None,
+                                  P2: Point = None):
+        """Sign message vector with supplied randomness and generators
+        (the SPSEQ-UC building block, reference
+        `mercurial_sig.rs` `new_with_given_randomness`)."""
+        assert len(messages) <= len(sk.x)
+        P1 = P1 if P1 is not None else bls.G1.generator()
+        P2 = P2 if P2 is not None else bls.G2.generator()
+        y = y_inv.inverse()
         acc = bls.G1.infinity()
         for m, x in zip(messages, sk.x):
             acc = acc + m * int(x)
-        y_inv = y.inverse()
         return cls(
             Z=(acc * int(y)).normalize(),
-            Y=(bls.G1.generator() * int(y_inv)).normalize(),
-            Y_hat=(bls.G2.generator() * int(y_inv)).normalize())
+            Y=(P1 * int(y_inv)).normalize(),
+            Y_hat=(P2 * int(y_inv)).normalize())
 
-    def verify(self, messages: list, pk: MercurialPublicKey) -> bool:
-        if len(messages) != len(pk.X_hat):
+    def verify(self, messages: list, pk: MercurialPublicKey,
+               P1: Point = None, P2: Point = None) -> bool:
+        if len(messages) > len(pk.X_hat):
             return False
+        P1 = P1 if P1 is not None else bls.G1.generator()
+        P2 = P2 if P2 is not None else bls.G2.generator()
         pairs = [(m, xh) for m, xh in zip(messages, pk.X_hat)]
         pairs.append(((-self.Z).normalize(), self.Y_hat))
         if not bls.multi_pairing(pairs).is_one():
             return False
         return bls.multi_pairing([
-            (self.Y, bls.G2.generator()),
-            ((-bls.G1.generator()).normalize(), self.Y_hat)]).is_one()
+            (self.Y, P2),
+            ((-P1).normalize(), self.Y_hat)]).is_one()
 
     def convert(self, rng, mu: Fp) -> "MercurialSignature":
         """Adapt to the converted key pk*mu (ConvertSig)."""
@@ -92,11 +106,20 @@ class MercurialSignature:
     def change_rep(self, rng, messages: list, rho: Fp):
         """Move to message representative M*rho (ChangeRep); returns
         (new messages, adapted signature)."""
-        psi = F.rand_nonzero(rng)
-        psi_inv = psi.inverse()
-        new_msgs = [(m * int(rho)).normalize() for m in messages]
+        psi_inv = F.rand_nonzero(rng).inverse()
+        sig, new_msgs = self.change_rep_with_given_randomness(
+            rho, psi_inv, messages)
+        return new_msgs, sig
+
+    def change_rep_with_given_randomness(self, mu: Fp, psi_inv: Fp,
+                                         messages: list):
+        """Deterministic ChangeRep (reference
+        `change_rep_with_given_randomness`): messages scale by mu, the
+        signature re-randomizes by psi_inv.  Returns (sig, new messages)."""
+        psi = psi_inv.inverse()
+        new_msgs = [(m * int(mu)).normalize() for m in messages]
         sig = MercurialSignature(
-            Z=(self.Z * int(psi * rho)).normalize(),
+            Z=(self.Z * int(psi * mu)).normalize(),
             Y=(self.Y * int(psi_inv)).normalize(),
             Y_hat=(self.Y_hat * int(psi_inv)).normalize())
-        return new_msgs, sig
+        return sig, new_msgs

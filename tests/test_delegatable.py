@@ -71,3 +71,49 @@ def test_mercurial_signature():
     msgs3, sig3 = sig.change_rep(RNG, msgs, rho)
     assert sig3.verify(msgs3, pk)
     assert sig3.Z != sig.Z and sig3.Y != sig.Y
+
+
+def test_sps_eq_uc_sign_verify_change_rep():
+    from crypto_tpu.delegatable_credentials.sps_eq_uc import (
+        RootIssuerPublicKey, RootIssuerSecretKey, SPSEQUCSignature,
+        UserPublicKey, UserSecretKey)
+    t, l = 6, 5
+    srs = SetCommitmentSRS.generate(RNG, 10)
+    isk = RootIssuerSecretKey.generate(RNG, l)
+    ipk = RootIssuerPublicKey.generate(isk, srs)
+    usk = UserSecretKey.generate(RNG)
+    upk = UserPublicKey.generate(usk, srs)
+
+    msgs1 = [F.rand(RNG) for _ in range(4)]
+    msgs2 = [F.rand(RNG) for _ in range(5)]
+    sig, comms, opens, uk = SPSEQUCSignature.new(
+        RNG, [msgs1, msgs2], upk, 3, isk, t, srs)
+    assert uk is not None and uk.start_index == 2
+    assert sig.verify(comms, [msgs1, msgs2], opens, upk, ipk, srs)
+    assert uk.verify(sig, ipk, t, srs)
+    # wrong message set fails
+    assert not sig.verify(comms, [msgs2, msgs1], opens, upk, ipk, srs)
+
+    # unlinkable re-randomization
+    mu, psi, chi = F.rand_nonzero(RNG), F.rand_nonzero(RNG), F.rand(RNG)
+    nsig, ncomms, nopens, nuk, nupk = sig.change_rep(
+        comms, opens, upk, uk, ipk, mu, psi, chi, t, srs)
+    assert nsig.verify(ncomms, [msgs1, msgs2], nopens, nupk, ipk, srs)
+    assert nuk.verify(nsig, ipk, t, srs)
+    nusk = usk.randomize(psi, chi)
+    assert nupk.pk == (srs.P1_powers[0] * int(nusk.x)).normalize()
+
+    # delegation: append a block via the update key
+    msgs3 = [F.rand(RNG) for _ in range(3)]
+    rho = F.rand_nonzero(RNG)
+    dsig, dcom, drho, _ = nsig.change_rel(msgs3, 2, None, nuk, rho, srs)
+    assert dsig.verify(ncomms + [dcom], [msgs1, msgs2, msgs3],
+                       nopens + [drho], nupk, ipk, srs)
+
+    # orphan transfer to a new user
+    orphan = dsig.to_orphan(nusk, ipk.X_0)
+    usk2 = UserSecretKey.generate(RNG)
+    upk2 = UserPublicKey.generate(usk2, srs)
+    adopted = orphan.from_orphan(usk2, ipk.X_0)
+    assert adopted.verify(ncomms + [dcom], [msgs1, msgs2, msgs3],
+                          nopens + [drho], upk2, ipk, srs)
