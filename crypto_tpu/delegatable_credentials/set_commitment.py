@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from ..curves import bls12_381 as bls
 from ..curves.sw import Point
 from ..fields.host import Fp
-from ..hashing import field_elem_from_try_and_incr
+from ..hashing import blake2b512, field_elem_from_try_and_incr
 from ..utils.ff import poly_from_roots
 from ..utils.msm import msm
 
@@ -118,3 +118,61 @@ class SubsetWitness:
 
     def randomize(self, factor: Fp) -> "SubsetWitness":
         return SubsetWitness(W=(self.W * int(factor)).normalize())
+
+
+@dataclass
+class AggregateSubsetWitness:
+    """Hash-weighted aggregation of subset witnesses (reference
+    `set_commitment.rs:432-600`): W = sum t_i * W_i with t_i derived from
+    the (commitments, subsets) transcript; one pairing equation checks all
+    subset openings at once:
+      e(W, P2(union)) == prod e(C_i, P2(union \\ s_i))^{t_i}."""
+    W: Point
+
+    @staticmethod
+    def _challenges(commitments, subsets, digest=blake2b512):
+        from ..serialize import serialize_point
+        buf = bytearray()
+        for c in commitments:
+            buf += serialize_point(c.C)
+        for s in subsets:
+            for m in sorted(int(x) for x in s):
+                buf += m.to_bytes(32, "little")
+        return [field_elem_from_try_and_incr(
+            F, bytes(buf) + i.to_bytes(4, "little"))
+            for i in range(len(commitments))]
+
+    @classmethod
+    def new(cls, commitments: list, subsets: list, witnesses: list,
+            digest=blake2b512):
+        t = cls._challenges(commitments, subsets, digest)
+        W = bls.G1.infinity()
+        for w, ti in zip(witnesses, t):
+            W = W + w.W * int(ti)
+        return cls(W=W.normalize())
+
+    def randomize(self, r: Fp) -> "AggregateSubsetWitness":
+        return AggregateSubsetWitness(W=(self.W * int(r)).normalize())
+
+    def verify(self, commitments: list, subsets: list,
+               srs: SetCommitmentSRS, digest=blake2b512) -> bool:
+        if len(commitments) != len(subsets):
+            return False
+        t = self._challenges(commitments, subsets, digest)
+        union = set()
+        for s in subsets:
+            union |= set(s)
+        if len(union) > srs.max_size:
+            return False
+        union_poly = poly_from_roots([F(int(m)) for m in union]) \
+            if union else [F(1)]
+        union_eval = srs.eval_in_g2(union_poly)
+        pairs = []
+        for c, s, ti in zip(commitments, subsets, t):
+            diff = union - set(s)
+            coeffs = poly_from_roots([F(int(m)) for m in diff]) \
+                if diff else [F(1)]
+            p2 = (srs.eval_in_g2(coeffs) * int(ti)).normalize()
+            pairs.append((c.C, p2))
+        pairs.append(((-self.W).normalize(), union_eval))
+        return bls.multi_pairing(pairs).is_one()

@@ -117,3 +117,55 @@ def test_sps_eq_uc_sign_verify_change_rep():
     adopted = orphan.from_orphan(usk2, ipk.X_0)
     assert adopted.verify(ncomms + [dcom], [msgs1, msgs2, msgs3],
                           nopens + [drho], upk2, ipk, srs)
+
+
+def test_msbm_credential_issue_delegate_show():
+    from crypto_tpu.delegatable_credentials.sps_eq_uc import (
+        RootIssuerPublicKey, RootIssuerSecretKey, UserPublicKey,
+        UserSecretKey)
+    from crypto_tpu.delegatable_credentials.msbm import (
+        Credential, CredentialShowProtocol)
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+
+    t, l = 6, 5
+    srs = SetCommitmentSRS.generate(RNG, 12)
+    isk = RootIssuerSecretKey.generate(RNG, l)
+    ipk = RootIssuerPublicKey.generate(isk, srs)
+    usk = UserSecretKey.generate(RNG)
+    upk = UserPublicKey.generate(usk, srs)
+
+    attrs1 = [F.rand(RNG) for _ in range(4)]
+    attrs2 = [F.rand(RNG) for _ in range(3)]
+    cred, uk = Credential.issue_root(RNG, [attrs1, attrs2], upk, 3, isk,
+                                     t, srs)
+    assert cred.verify(upk, ipk, srs)
+
+    # delegate: holder appends a new block
+    attrs3 = [F.rand(RNG) for _ in range(2)]
+    cred2, _ = cred.delegate_with_new_attributes(RNG, attrs3, None, uk, srs)
+    assert cred2.verify(upk, ipk, srs)
+
+    # unlinkable show disclosing a subset from each block
+    disclose = [attrs1[:2], [], [attrs3[0]]]
+    prot = CredentialShowProtocol.init(RNG, cred2, disclose, usk, upk,
+                                       ipk, srs)
+    w = ByteWriter()
+    prot.challenge_contribution(srs, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    show = prot.gen_show(c)
+    w2 = ByteWriter()
+    show.challenge_contribution(srs, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+    assert show.verify(disclose, c, ipk, srs)
+    # pseudonym differs from the real upk (unlinkability smoke check)
+    assert show.pseudonym.pk != upk.pk
+    # undisclosed attribute passed as disclosed fails
+    bad = [attrs1[:2], [attrs2[0] + F(1)], [attrs3[0]]]
+    assert not show.verify(bad, c, ipk, srs)
+
+    # credential transfer to another user
+    usk2 = UserSecretKey.generate(RNG)
+    upk2 = UserPublicKey.generate(usk2, srs)
+    cred3 = cred2.transfer(usk, usk2, ipk.X_0)
+    assert cred3.verify(upk2, ipk, srs)
