@@ -46,7 +46,10 @@ class LegoGroth16Error(Exception):
 
 
 def _msm(points, scalars):
-    if len(points) >= DEVICE_MSM_THRESHOLD:
+    if len(points) >= DEVICE_MSM_THRESHOLD and points \
+            and points[0].curve is bls.G1:
+        # the device MSM packs base-field limbs, so G1 only; G2 MSMs (the
+        # b_g2_query, one per proof) stay on host
         from ..ops.msm import msm_device
         return msm_device(bls.G1, points, [int(s) for s in scalars])
     return msm_host(points, scalars)

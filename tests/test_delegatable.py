@@ -169,3 +169,56 @@ def test_msbm_credential_issue_delegate_show():
     upk2 = UserPublicKey.generate(usk2, srs)
     cred3 = cred2.transfer(usk, usk2, ipk.X_0)
     assert cred3.verify(upk2, ipk, srs)
+
+
+def test_protego_issue_show_audit():
+    from crypto_tpu.delegatable_credentials.protego import (
+        AuditorPublicKey, AuditorSecretKey, ProtegoIssuerPublicKey,
+        ProtegoIssuerSecretKey, ProtegoShowProtocol, ProtegoUserPublicKey,
+        ProtegoUserSecretKey, issue_credential)
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+
+    srs = SetCommitmentSRS.generate(RNG, 10)
+    P1 = srs.P1_powers[0]
+    ask = AuditorSecretKey.generate(RNG)
+    apk = AuditorPublicKey.generate(ask, P1)
+    isk = ProtegoIssuerSecretKey.generate(RNG, supports_audit=True)
+    ipk = ProtegoIssuerPublicKey.generate(isk)
+    usk = ProtegoUserSecretKey.generate(RNG)
+    upk = ProtegoUserPublicKey.generate(usk, P1)
+
+    attrs = [F.rand(RNG) for _ in range(5)]
+    cred = issue_credential(RNG, attrs, usk, upk, isk, apk, srs)
+    assert cred.verify(upk, apk, ipk, srs)
+
+    disclose = attrs[:2]
+    prot = ProtegoShowProtocol.init_with_usk(RNG, cred, disclose, usk, upk,
+                                             apk, srs)
+    w = ByteWriter()
+    prot.challenge_contribution(srs, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    show = prot.gen_show(usk, c)
+    w2 = ByteWriter()
+    show.challenge_contribution(srs, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+    assert show.verify(c, disclose, ipk, apk, srs)
+    # unlinkability: randomized C1 differs from the credential's
+    assert show.C1 != cred.C1
+    # wrong disclosed attribute fails
+    assert not show.verify(c, [attrs[0], attrs[0] + F(1)], ipk, apk, srs)
+    # auditor recovers the user public key
+    assert show.audit(ask) == upk.pk
+
+    # non-auditable issuer path
+    isk2 = ProtegoIssuerSecretKey.generate(RNG, supports_audit=False)
+    ipk2 = ProtegoIssuerPublicKey.generate(isk2)
+    cred2 = issue_credential(RNG, attrs, usk, upk, isk2, None, srs)
+    assert cred2.verify(upk, None, ipk2, srs)
+    prot2 = ProtegoShowProtocol.init_with_usk(RNG, cred2, [], usk, None,
+                                              None, srs)
+    w = ByteWriter()
+    prot2.challenge_contribution(srs, w)
+    c2 = compute_random_oracle_challenge(F, bytes(w.buf))
+    show2 = prot2.gen_show(None, c2)
+    assert show2.verify(c2, [], ipk2, None, srs)
