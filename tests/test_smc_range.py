@@ -143,3 +143,41 @@ def test_bpp_arbitrary_range():
     comms = proof.get_commitments_to_values([(50, 200), (60000, 65536)], bpp)
     # lower-leg recovered commitment opens to (v, r)
     assert comms[0][0] == (bpp.G * 100 + bpp.H_vec[0] * int(rand[0])).normalize()
+
+
+def test_kv_range_proofs():
+    from crypto_tpu.smc_range_proof.kv import (
+        CCSArbitraryRangeKVProtocol, CCSPerfectRangeKVProtocol,
+        SetMembershipCheckParamsKV)
+    base = 4
+    params = SetMembershipCheckParamsKV.new_for_range_proof(
+        RNG, b"kv-range", base)
+    ck = MemberCommitmentKey.new(b"kv-ck")
+    # perfect range [0, base^3)
+    value, mx = 37, base ** 3
+    r = F.rand(RNG)
+    commitment = ck.commit(F(value), r)
+    prot = CCSPerfectRangeKVProtocol.init(RNG, value, r, mx, base, ck,
+                                          params)
+    w = ByteWriter()
+    prot.challenge_contribution(commitment, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(commitment, c, mx, ck, params, params.sk)
+    from crypto_tpu.short_group_sig.weak_bb import WeakBBSecretKey
+    assert not proof.verify(commitment, c, mx, ck, params,
+                            WeakBBSecretKey.generate(RNG))
+    # arbitrary range
+    lo, hi = 10, 200
+    value2 = 137
+    r2 = F.rand(RNG)
+    commitment2 = ck.commit(F(value2), r2)
+    prot2 = CCSArbitraryRangeKVProtocol.init(RNG, value2, r2, lo, hi, base,
+                                             ck, params)
+    w = ByteWriter()
+    prot2.challenge_contribution(commitment2, ck, params, w)
+    c2 = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof2 = prot2.gen_proof(c2)
+    assert proof2.verify(commitment2, c2, lo, hi, ck, params, params.sk)
+    assert not proof2.verify(commitment2, c2, 140, hi, ck, params,
+                             params.sk)
