@@ -319,3 +319,79 @@ class PublicInequalityStatement(Statement):
     def response_for_witness(self, proof, wit_idx):
         assert wit_idx == 0
         return proof.response_for_value()
+
+
+# ---------------------------------------------------------------------------
+# verifiable encryption (TZ21 DKGitH)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerifiableEncryptionTZ21(Statement):
+    """Encrypt sign-able witnesses verifiably (reference
+    `sub_protocols/verifiable_encryption_tz_21.rs`): commit the witnesses
+    (plus one random filler, so the commitment hides them even if all are
+    linked) with `comm_key`, prove the opening in Schnorr (responses are
+    linkable) and attach a DKGitH proof that the ciphertexts encrypt the
+    SAME opening of that commitment."""
+    comm_key: list         # bases, one per witness + 1 for the filler
+    enc_pk: object         # ElgamalPublicKey
+    enc_gen: Point
+    n_parties: int = 8
+    reps: int = 16
+
+    def init_subprotocol(self, rng, blindings, witness):
+        wits = list(witness) + [F.rand(rng)]
+        if len(wits) > len(self.comm_key):
+            raise ProofSystemError("commitment key too short")
+        ck = self.comm_key[:len(wits)]
+        from ..utils.msm import msm
+        commitment = msm(ck, wits).normalize()
+        bl = [blindings.get(i, F.rand(rng)) for i in range(len(wits) - 1)]
+        bl.append(F.rand(rng))
+        sc = SchnorrCommitment.new(ck, bl)
+        stmt = self
+
+        class SP:
+            def challenge_contribution(self, writer):
+                for p in ck:
+                    writer.point(p)
+                writer.point(commitment)
+                writer.point(sc.t)
+
+            def gen_proof(self, challenge):
+                from ..verifiable_encryption.tz21 import DkgithProof
+                ve = DkgithProof.new(rng, wits, commitment, ck,
+                                     stmt.enc_pk, stmt.enc_gen,
+                                     n_parties=stmt.n_parties,
+                                     reps=stmt.reps)
+                return VETZ21Proof(commitment=commitment, t=sc.t,
+                                   sc=sc.response(wits, challenge),
+                                   ve_proof=ve)
+
+        return SP()
+
+    def proof_challenge_contribution(self, proof, writer):
+        ck = self.comm_key[:len(proof.sc.responses)]
+        for p in ck:
+            writer.point(p)
+        writer.point(proof.commitment)
+        writer.point(proof.t)
+
+    def verify_proof(self, proof, challenge, pairing_checker=None):
+        ck = self.comm_key[:len(proof.sc.responses)]
+        if not proof.sc.is_valid(ck, proof.commitment, proof.t, challenge):
+            raise ProofSystemError("TZ21 commitment PoK failed")
+        if not proof.ve_proof.verify(proof.commitment, ck, self.enc_pk,
+                                     self.enc_gen):
+            raise ProofSystemError("TZ21 verifiable encryption failed")
+
+    def response_for_witness(self, proof, wit_idx):
+        return proof.sc.get_response(wit_idx)
+
+
+@dataclass
+class VETZ21Proof:
+    commitment: Point
+    t: Point
+    sc: SchnorrResponse
+    ve_proof: object

@@ -140,3 +140,36 @@ def test_bbs_message_in_circom_circuit():
     spec2.add_witness_equality([(0, 0), (1, 0)])
     with pytest.raises(ProofSystemError):
         proof.verify(RNG, spec2)
+
+
+def test_bbs_message_verifiably_encrypted():
+    """BBS+ message encrypted for an auditor with TZ21 DKGitH, linked to
+    the credential proof."""
+    from crypto_tpu.proof_system.statements_ranges import (
+        VerifiableEncryptionTZ21)
+    from crypto_tpu.utils.elgamal import keygen
+    from crypto_tpu.hashing import n_group_elements
+    messages = [F.rand(RNG), F.rand(RNG)]
+    params, pk, sig = _bbs_setup(messages)
+    enc_gen = b.G1.generator()
+    dec_sk, enc_pk = keygen(RNG, enc_gen)
+    ck = [p.normalize() for p in n_group_elements(b.G1, 0, 3, b"ve-ck")]
+
+    spec = ProofSpec()
+    s1 = spec.add_statement(PoKBBSSignatureG1(params=params, public_key=pk,
+                                              revealed_messages={}))
+    s2 = spec.add_statement(VerifiableEncryptionTZ21(
+        comm_key=ck, enc_pk=enc_pk, enc_gen=enc_gen, n_parties=4, reps=8))
+    spec.add_witness_equality([(s1, 0), (s2, 0)])
+    wits = [
+        BBSWitness(signature=sig, messages=messages),
+        [messages[0]],
+    ]
+    proof = Proof.new(RNG, spec, wits)
+    assert proof.verify(RNG, spec)
+    # decryption: compress and recover the witness
+    ve = proof.statement_proofs[s2].ve_proof
+    compressed = ve.compress(subset_size=4)
+    dec = compressed.decrypt(dec_sk, proof.statement_proofs[s2].commitment,
+                             ck[:2])
+    assert dec[0] == messages[0]
