@@ -27,6 +27,8 @@ from ..fields.host import Fp
 from ..hashing import (blake2b512, concat_slices, group_elem_from_try_and_incr,
                        n_group_elements)
 from ..serialize import ByteWriter
+from ..schnorr.discrete_log import (PokPedersenCommitment,
+                                    PokPedersenCommitmentProtocol)
 from ..schnorr.generalized import SchnorrCommitment, SchnorrResponse
 from ..utils.msm import msm
 from .setup import SecretKey
@@ -272,3 +274,110 @@ class PoKOfSignature23IETF:
 
     def get_resp_for_message(self, idx_in_hidden: int) -> Fp:
         return self.response.get_response(idx_in_hidden)
+
+
+# ---------------------------------------------------------------------------
+# CDL-style PoK (reference `proof_23_cdl.rs`): randomize to (A_bar, B_bar, d)
+# with d = b*r2, A_bar = A*r1*r2, B_bar = d*r1 - A_bar*e; two Schnorr legs —
+# (−e, r1) opening B_bar over (A_bar, d), and hidden messages + (−r3) over
+# (h_i..., d) against −(sum revealed h_i m_i) − g1.  Pairing:
+# e(A_bar, pk) == e(B_bar, g2).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PoKOfSignature23CDLProtocol:
+    A_bar: Point
+    B_bar: Point
+    d: Point
+    sc1: PokPedersenCommitmentProtocol
+    sc2: SchnorrCommitment
+    sc2_wits: list
+    hidden_indices: list
+
+    @classmethod
+    def init(cls, rng, signature: Signature23G1,
+             params: SignatureParams23G1, messages, revealed_indices: set,
+             blindings: Optional[dict] = None):
+        blindings = blindings or {}
+        r1 = F.rand(rng)
+        r2 = F.rand_nonzero(rng)
+        r3 = r2.inverse()
+        hidden = [i for i in range(len(messages))
+                  if i not in revealed_indices]
+        b_pt = params.commitment_to_messages(list(enumerate(messages)))
+        d = (b_pt * int(r2)).normalize()
+        A_bar = (signature.A * int(r1 * r2)).normalize()
+        B_bar = (d * int(r1) - A_bar * int(signature.e)).normalize()
+        sc1 = PokPedersenCommitmentProtocol.init(
+            -signature.e, F.rand(rng), A_bar, r1, F.rand(rng), d)
+        bases2 = [params.h[i] for i in hidden] + [d]
+        wits2 = [messages[i] for i in hidden] + [-r3]
+        rand2 = [blindings.get(i, F.rand(rng)) for i in hidden] + \
+            [F.rand(rng)]
+        return cls(A_bar=A_bar, B_bar=B_bar, d=d, sc1=sc1,
+                   sc2=SchnorrCommitment.new(bases2, rand2),
+                   sc2_wits=wits2, hidden_indices=hidden)
+
+    def challenge_contribution(self, revealed_msgs: dict,
+                               params: SignatureParams23G1,
+                               writer: ByteWriter):
+        _pok23_cdl_contribution(self.A_bar, self.B_bar, self.d, self.sc1.t,
+                                self.sc2.t, revealed_msgs, params, writer)
+
+    def gen_proof(self, challenge: Fp) -> "PoKOfSignature23CDL":
+        return PoKOfSignature23CDL(
+            A_bar=self.A_bar, B_bar=self.B_bar, d=self.d,
+            sc_resp_1=self.sc1.gen_proof(challenge), t2=self.sc2.t,
+            sc_resp_2=self.sc2.response(self.sc2_wits, challenge),
+            hidden_indices=self.hidden_indices)
+
+
+def _pok23_cdl_contribution(A_bar, B_bar, d, t1, t2, revealed_msgs, params,
+                            writer):
+    for p in (A_bar, B_bar, d, t1, t2, params.g1):
+        writer.point(p)
+    for i in range(len(params.h)):
+        writer.point(params.h[i])
+        if i in revealed_msgs:
+            writer.field(revealed_msgs[i])
+
+
+@dataclass
+class PoKOfSignature23CDL:
+    A_bar: Point
+    B_bar: Point
+    d: Point
+    sc_resp_1: PokPedersenCommitment
+    t2: Point
+    sc_resp_2: SchnorrResponse
+    hidden_indices: list
+
+    def challenge_contribution(self, revealed_msgs: dict,
+                               params: SignatureParams23G1,
+                               writer: ByteWriter):
+        _pok23_cdl_contribution(self.A_bar, self.B_bar, self.d,
+                                self.sc_resp_1.t, self.t2, revealed_msgs,
+                                params, writer)
+
+    def verify(self, revealed_msgs: dict, challenge: Fp,
+               pk: PublicKey23G2, params: SignatureParams23G1,
+               pairing_checker=None) -> bool:
+        if self.A_bar.is_infinity():
+            return False
+        if not self.sc_resp_1.verify(self.B_bar, self.A_bar, self.d,
+                                     challenge):
+            return False
+        bases2 = [params.h[i] for i in self.hidden_indices] + [self.d]
+        pr = -params.g1
+        for j, m in sorted(revealed_msgs.items()):
+            pr = pr - params.h[j] * int(m)
+        if not self.sc_resp_2.is_valid(bases2, pr.normalize(), self.t2,
+                                       challenge):
+            return False
+        if pairing_checker is not None:
+            pairing_checker.add_sources(self.A_bar, pk.w, self.B_bar,
+                                        params.g2)
+            return True
+        return bls.multi_pairing([
+            (self.A_bar, pk.w),
+            ((-self.B_bar).normalize(), params.g2)]).is_one()

@@ -106,3 +106,24 @@ def test_bbs23_ietf_pok():
     ck = RandomizedPairingChecker(F.rand(RNG), lazy=True)
     assert proof.verify(revealed, c, pk, params, pairing_checker=ck)
     assert ck.verify()
+
+
+def test_bbs23_cdl_pok():
+    from crypto_tpu.bbs_plus.bbs23 import PoKOfSignature23CDLProtocol
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+    n = 4
+    params = SignatureParams23G1.new(b"bbs23-cdl", n)
+    sk = SecretKey.generate(RNG)
+    pk = PublicKey23G2.generate(sk, params)
+    messages = [F.rand(RNG) for _ in range(n)]
+    sig = Signature23G1.new(RNG, messages, sk, params)
+    revealed = {1: messages[1]}
+    prot = PoKOfSignature23CDLProtocol.init(RNG, sig, params, messages,
+                                            set(revealed))
+    w = ByteWriter()
+    prot.challenge_contribution(revealed, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(revealed, c, pk, params)
+    assert not proof.verify({1: messages[1] + F(1)}, c, pk, params)
