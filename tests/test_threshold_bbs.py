@@ -233,3 +233,24 @@ def test_dkls19_batch_multiplication():
     shares2 = batch_mul_party2_round2(state, tau, rlc, gadget, params)
     for s1, s2, beta in zip(shares1, shares2, betas):
         assert s1 + s2 == alpha * beta
+
+
+def test_naor_pinkas_and_endemic_ot():
+    from crypto_tpu.ot.base_ot_more import (EndemicReceiver, EndemicSender,
+                                            NPReceiver, NPSender)
+    g = b.G1.generator()
+    n = 4
+    sender = NPSender.setup(RNG, g, n)
+    for choice in range(n):
+        recv = NPReceiver.new(RNG, g, sender.C, choice)
+        keys = sender.keys_for(recv.pk_0, n)
+        k = recv.key(sender.g_r)
+        assert k == keys[choice]
+        assert sum(1 for kk in keys if kk == k) == 1
+
+    for choice in (0, 1):
+        er = EndemicReceiver.new(RNG, g, choice)
+        es = EndemicSender.new(RNG, g)
+        keys = es.keys(er.B)
+        assert er.key(es.A) == keys[choice]
+        assert keys[0] != keys[1]
