@@ -175,3 +175,32 @@ def test_syra_pseudonym_alt():
     isk2 = IssuerSecretKey.generate(RNG)
     ipk2 = IssuerPublicKey.new(isk2, params)
     assert not proof.verify(c, Z, ipk2, params)
+
+
+@pytest.mark.slow
+def test_syra_threshold_issuance():
+    """Threshold SyRA user-key issuance: usk = g * 1/(id + sk) is a
+    weak-BB signature, so the shared-inverse machinery applies directly
+    (reference `syra/src/threshold_issuance.rs` uses the same approach)."""
+    from crypto_tpu.syra.core import (IssuerPublicKey, IssuerSecretKey,
+                                      SyraSetupParams, UserSecretKey)
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+    from crypto_tpu.short_group_sig.threshold_weak_bb import (
+        ThresholdWeakBBSigner, run_threshold_weak_bb)
+    params = SyraSetupParams.new(b"syra-thr")
+    isk = IssuerSecretKey.generate(RNG)
+    ipk = IssuerPublicKey.new(isk, params)
+    user_id = F.rand(RNG)
+    shares, _ = shamir_deal_secret(RNG, isk.sk, 2, 4)
+    signer_ids = [2, 4]
+    signers = {
+        i: ThresholdWeakBBSigner.init(
+            RNG, i, next(s.share for s in shares.shares if s.id == i),
+            signer_ids)
+        for i in signer_ids
+    }
+    sig = run_threshold_weak_bb(RNG, signers, user_id, params.g)
+    usk = UserSecretKey(usk=sig.A)
+    assert usk.verify(user_id, ipk, params)
+    direct = UserSecretKey.issue(user_id, isk, params)
+    assert usk.usk == direct.usk
