@@ -146,3 +146,37 @@ def test_distributed_dlog_maliciously_secure():
         cshares.append(cs)
     R = distributed_dlog.ComputationShareGT.combine(cshares)
     assert R == b.pairing(B, P)
+
+
+def test_shares_accumulator_feldman_dvss():
+    from crypto_tpu.secret_sharing.common import (
+        SharesAccumulator, reconstruct_threshold_public_key)
+    from crypto_tpu.secret_sharing.schemes import feldman_deal_secret
+    g = b.G1.generator()
+    threshold, total = 3, 5
+    accs = {i: SharesAccumulator(participant_id=i, threshold=threshold)
+            for i in range(1, total + 1)}
+    secrets = []
+    for dealer in range(1, total + 1):
+        secret = F.rand(RNG)
+        secrets.append(secret)
+        shares, comms = feldman_deal_secret(RNG, secret, threshold, total,
+                                            g)
+        for i in range(1, total + 1):
+            sh = next(s for s in shares.shares if s.id == i)
+            if i == dealer:
+                accs[i].add_self_share(sh, comms)
+            else:
+                accs[i].add_received_share(dealer, sh, comms, g)
+    finals = {i: accs[i].finalize() for i in accs}
+    tpks = {str(f[1].to_affine()) for f in finals.values()}
+    assert len(tpks) == 1
+    total_secret = F(0)
+    for s in secrets:
+        total_secret = total_secret + s
+    tpk = next(iter(finals.values()))[1]
+    assert tpk == (g * int(total_secret)).normalize()
+    # threshold pk from per-party public keys
+    pks = [(i, (g * int(finals[i][0].share)).normalize())
+           for i in (1, 3, 5)]
+    assert reconstruct_threshold_public_key(pks, 3) == tpk
