@@ -222,3 +222,44 @@ def test_protego_issue_show_audit():
     c2 = compute_random_oracle_challenge(F, bytes(w.buf))
     show2 = prot2.gen_show(None, c2)
     assert show2.verify(c2, [], ipk2, None, srs)
+
+
+def test_delegatable_accumulator():
+    from crypto_tpu.delegatable_credentials.accumulator import (
+        AccumPublicKey, AccumSecretKey, DelegatableAccumulator,
+        NonMembershipWitness)
+    s = F.rand_nonzero(RNG)
+    srs = SetCommitmentSRS.generate_with_trapdoor(s, 20)
+    P1, P2 = srs.P1_powers[0], srs.P2_powers[0]
+    P1_s = srs.P1_powers[1]
+    sk = AccumSecretKey.generate(RNG)
+    pk = AccumPublicKey.generate(sk, P2)
+    members = [F.rand(RNG) for _ in range(6)]
+    accum = DelegatableAccumulator.new(members, s, sk, P1)
+
+    nm = F.rand(RNG)
+    wit = NonMembershipWitness.new(nm, accum.members, s, P2)
+    assert wit.verify(nm, accum.V, pk, P1_s, P1, P2)
+    # a member has no witness
+    try:
+        NonMembershipWitness.new(members[0], accum.members, s, P2)
+        assert False
+    except Exception:
+        pass
+    # stale witness fails after addition; fresh one works
+    accum.add([F.rand(RNG), F.rand(RNG)], s)
+    assert not wit.verify(nm, accum.V, pk, P1_s, P1, P2)
+    wit2 = NonMembershipWitness.new(nm, accum.members, s, P2)
+    assert wit2.verify(nm, accum.V, pk, P1_s, P1, P2)
+    # removal
+    accum.remove([members[0]], s)
+    wit3 = NonMembershipWitness.new(members[0], accum.members, s, P2)
+    assert wit3.verify(members[0], accum.V, pk, P1_s, P1, P2)
+    # randomized witness (Protego show form)
+    mu, tau, usk2 = F.rand_nonzero(RNG), F.rand_nonzero(RNG), F.rand_nonzero(RNG)
+    r = mu * tau * usk2
+    rand_accum = (accum.V * int(r)).normalize()
+    rwit = wit3.randomize(tau, r, P1)
+    rand_factor = ((P1_s - P1 * int(members[0])) * int(r * tau.inverse())
+                   ).normalize()
+    assert rwit.verify(rand_accum, rand_factor, pk, P2)
