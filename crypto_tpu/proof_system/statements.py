@@ -239,3 +239,18 @@ class PedersenCommitmentStmt(Statement):
 class PedersenCommitmentProof:
     t: Point
     response: SchnorrResponse
+
+
+@dataclass
+class KBUniversalAccumulatorMembership(VBAccumulatorMembershipCDH):
+    """KB universal membership = VB positive membership in the MEMBER
+    accumulator (reference `sub_protocols/accumulator/
+    keyed_verification/kb_universal*`-adjacent prover variants);
+    construct with accumulator_value = kb.mem.value()."""
+
+
+@dataclass
+class KBUniversalAccumulatorNonMembership(VBAccumulatorMembershipCDH):
+    """KB universal NON-membership = VB positive membership in the
+    NON-MEMBER accumulator; accumulator_value = kb.non_mem.value().
+    The witness is the non-membership witness from the KB accumulator."""

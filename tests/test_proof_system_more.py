@@ -97,3 +97,41 @@ def test_two_bbs23_with_shared_randomizer():
             BBS23Witness(sig2, msgs2, sig_randomizer=r)]
     proof = Proof.new(RNG, spec, wits, nonce=b"b23")
     assert proof.verify(RNG, spec, nonce=b"b23")
+
+
+def test_kb_universal_accumulator_statements():
+    from crypto_tpu.accumulator.kb_universal import KBUniversalAccumulator
+    from crypto_tpu.accumulator.persistence import InMemoryState
+    from crypto_tpu.accumulator.setup import (AccumPublicKey,
+                                              AccumSecretKey,
+                                              AccumSetupParams)
+    from crypto_tpu.proof_system.statements import (
+        AccumMembershipWit, KBUniversalAccumulatorMembership,
+        KBUniversalAccumulatorNonMembership)
+    from crypto_tpu.proof_system.base import ProofSpec
+    from crypto_tpu.proof_system.proof import Proof as CompositeProof
+
+    params = AccumSetupParams.new(b"kb-ps")
+    sk = AccumSecretKey.generate(RNG)
+    pk = AccumPublicKey.generate(sk, params)
+    domain = [F.rand(RNG) for _ in range(6)]
+    ms, nms = InMemoryState(), InMemoryState()
+    kb = KBUniversalAccumulator.initialize(params, sk, domain, ms, nms)
+    kb = kb.add(domain[0], sk, ms, nms)
+    kb = kb.add(domain[1], sk, ms, nms)
+
+    mem_wit = kb.get_membership_witness(domain[0], sk, ms)
+    nonmem_wit = kb.get_non_membership_witness(domain[3], sk, nms)
+
+    spec = ProofSpec()
+    s1 = spec.add_statement(KBUniversalAccumulatorMembership(
+        accumulator_value=kb.mem.value(), params=params, public_key=pk))
+    s2 = spec.add_statement(KBUniversalAccumulatorNonMembership(
+        accumulator_value=kb.non_mem.value(), params=params,
+        public_key=pk))
+    wits = [
+        AccumMembershipWit(element=domain[0], witness=mem_wit),
+        AccumMembershipWit(element=domain[3], witness=nonmem_wit),
+    ]
+    proof = CompositeProof.new(RNG, spec, wits)
+    assert proof.verify(RNG, spec)
