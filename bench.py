@@ -27,11 +27,12 @@ def main() -> None:
     import crypto_tpu.jax_setup  # persistent compile cache
     import jax
 
-    # Scan-mode carries compile reliably on the remote-compile TPU path;
-    # flat Kogge-Stone mode is opt-in until its compile times are fixed.
+    # Kogge-Stone carries measured ~13% faster than scan at 2^20 on TPU
+    # (both programs live in the persistent compile cache); override with
+    # CRYPTO_TPU_CARRY=scan|ks.
     if not os.environ.get("CRYPTO_TPU_CARRY"):
         from crypto_tpu.fields.jfield import set_carry_mode
-        set_carry_mode("scan")
+        set_carry_mode("ks")
 
     logn = int(os.environ.get("CRYPTO_TPU_BENCH_N", "20"))
     if os.environ.get("CRYPTO_TPU_BENCH_FAST"):
