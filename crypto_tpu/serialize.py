@@ -176,3 +176,37 @@ class ByteWriter:
 
     def bytes(self) -> bytes:
         return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# parameter persistence (SURVEY.md §5.4): save/load CRS-class objects as
+# arkworks-canonical byte blobs inside npz containers
+# ---------------------------------------------------------------------------
+
+def save_points(path: str, **named_point_lists) -> None:
+    """Persist named lists of points (SRS powers, commitment keys,
+    accumulator values...) with canonical compressed encoding."""
+    import numpy as np
+    arrays = {}
+    for name, pts in named_point_lists.items():
+        if isinstance(pts, Point):
+            pts = [pts]
+        blobs = [serialize_point(p) for p in pts]
+        arrays[name] = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        arrays[name + "__len"] = np.array([len(blobs[0]) if blobs else 0,
+                                           len(blobs)])
+    np.savez_compressed(path, **arrays)
+
+
+def load_points(path: str, curve_by_name: dict) -> dict:
+    """Inverse of save_points; curve_by_name maps each saved name to its
+    SWCurve for deserialization."""
+    import numpy as np
+    data = np.load(path)
+    out = {}
+    for name, curve in curve_by_name.items():
+        per, count = (int(x) for x in data[name + "__len"])
+        raw = data[name].tobytes()
+        out[name] = [deserialize_point(curve, raw[i * per:(i + 1) * per])
+                     for i in range(count)]
+    return out
