@@ -316,6 +316,39 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
     return proof, v, [F(x) for x in committed]
 
 
+def rerandomize_proof(proof: Proof, vk: VerifyingKey, rng) -> Proof:
+    """BKSV20-style rerandomization (`legogroth16/src/prover.rs:478-508`):
+    A' = A/r1, B' = r1*B + r1*r2*(delta+gamma)_G2, C' = C + r2*A,
+    D' = D + r2*A.  D is no longer a witness commitment afterwards."""
+    r1 = F.rand_nonzero(rng)
+    r2 = F.rand_nonzero(rng)
+    a_r2 = proof.a * int(r2)
+    return Proof(
+        a=(proof.a * int(r1.inverse())).normalize(),
+        b=(proof.b * int(r1)
+           + (vk.delta_g2 + vk.gamma_g2) * int(r1 * r2)).normalize(),
+        c=(proof.c + a_r2).normalize(),
+        d=(proof.d + a_r2).normalize())
+
+
+def rerandomize_proof_1(proof: Proof, old_v: Fp, new_v: Fp,
+                        vk: VerifyingKey, eta_delta_inv_g1: Point,
+                        rng) -> Proof:
+    """Rerandomization that KEEPS D a commitment to the witnesses with
+    fresh randomness new_v (`legogroth16/src/prover.rs:510-549`):
+    C' = C + r2*A + (old_v-new_v)*(eta/delta)G1,
+    D' = D + (new_v-old_v)*(eta/gamma)G1."""
+    r1 = F.rand_nonzero(rng)
+    r2 = F.rand_nonzero(rng)
+    a_r2 = proof.a * int(r2)
+    return Proof(
+        a=(proof.a * int(r1.inverse())).normalize(),
+        b=(proof.b * int(r1) + vk.delta_g2 * int(r1 * r2)).normalize(),
+        c=(proof.c + a_r2
+           + eta_delta_inv_g1 * int(old_v - new_v)).normalize(),
+        d=(proof.d + vk.eta_gamma_inv_g1 * int(new_v - old_v)).normalize())
+
+
 def prepare_inputs(vk: VerifyingKey, public_inputs) -> Point:
     inp = [F(1)] + [F(int(x)) for x in public_inputs]
     if len(inp) > vk.num_public_inputs:

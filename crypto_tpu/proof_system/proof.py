@@ -26,6 +26,45 @@ class VerifierConfig:
 
 
 @dataclass
+class OldSaverProof:
+    """SAVER randomness, ciphertext and proof from a previous composite
+    proof, reusable via rerandomization (`prover.rs:76-83`)."""
+    v: Fp                  # total encryption randomness r
+    ciphertext: object
+    proof: object
+
+
+@dataclass
+class OldLegoGroth16Proof:
+    """LegoGroth16 commitment randomness + proof from a previous composite
+    proof (`prover.rs:84-88`)."""
+    v: Fp
+    proof: object
+
+
+@dataclass
+class ProverConfig:
+    """Passed to `Proof.new` (`prover.rs:90-120`).  Maps statement index ->
+    old proof material to reuse (cheaper than a fresh SNARK proof; the old
+    material is rerandomized so proofs stay unlinkable).  After proving,
+    `commitment_randomness` holds each reusing-capable statement's fresh
+    randomness so THIS proof can seed the next `ProverConfig`."""
+    reuse_saver_proofs: Optional[dict] = None
+    reuse_legogroth16_proofs: Optional[dict] = None
+    commitment_randomness: dict = None
+
+    def __post_init__(self):
+        if self.commitment_randomness is None:
+            self.commitment_randomness = {}
+
+    def old_proof_for(self, idx: int):
+        for m in (self.reuse_saver_proofs, self.reuse_legogroth16_proofs):
+            if m and idx in m:
+                return m[idx]
+        return None
+
+
+@dataclass
 class Proof:
     statement_proofs: list
     nonce: Optional[bytes] = None
@@ -34,7 +73,8 @@ class Proof:
 
     @classmethod
     def new(cls, rng, proof_spec: ProofSpec, witnesses: list,
-            nonce: Optional[bytes] = None) -> "Proof":
+            nonce: Optional[bytes] = None,
+            config: Optional["ProverConfig"] = None) -> "Proof":
         """`prover.rs:139`: validate -> equivalence classes -> shared
         blindings -> round 1 commits + transcript -> challenge -> round 2."""
         proof_spec.validate()
@@ -60,7 +100,14 @@ class Proof:
                 ref.witness: bl for ref, bl in blindings_by_ref.items()
                 if ref.statement == idx
             }
-            sp = stmt.init_subprotocol(rng, stmt_blindings, wit)
+            old = config.old_proof_for(idx) if config is not None else None
+            if old is not None:
+                sp = stmt.init_subprotocol_with_old(rng, stmt_blindings,
+                                                    wit, old)
+            else:
+                sp = stmt.init_subprotocol(rng, stmt_blindings, wit)
+            if config is not None and hasattr(sp, "commitment_randomness"):
+                config.commitment_randomness[idx] = sp.commitment_randomness
             w = ByteWriter()
             sp.challenge_contribution(w)
             transcript.append_message(b"", w.bytes())
@@ -72,6 +119,18 @@ class Proof:
         return cls(
             statement_proofs=[sp.gen_proof(challenge) for sp in subprotocols],
             nonce=nonce)
+
+    # ------------------------------------------------------------------
+
+    def get_saver_ciphertext_and_proof(self, idx: int):
+        """Extract the SAVER material of statement `idx` for reuse in a
+        later `ProverConfig` (`proof.rs` helper of the same name); combine
+        with the `commitment_randomness` captured at proving time."""
+        sp = self.statement_proofs[idx]
+        return sp.ciphertext, sp.snark_proof
+
+    def get_legogroth16_proof(self, idx: int):
+        return self.statement_proofs[idx].snark_proof
 
     # ------------------------------------------------------------------
 

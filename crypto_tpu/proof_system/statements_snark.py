@@ -51,14 +51,29 @@ class BoundCheckLegoGroth16(Statement):
         proof, v, committed = snark.create_proof(
             bound_check_circuit(self.min_val, self.max_val, w_val),
             self.snark_pk, rng)
+        return self._make_sp(rng, blindings, committed[0], proof, v)
+
+    def init_subprotocol_with_old(self, rng, blindings, witness, old):
+        """Reuse path (`sub_protocols/bound_check_legogroth16.rs:108-137`):
+        rerandomize the old proof with fresh commitment randomness instead
+        of re-running the SNARK prover."""
+        v = F.rand(rng)
+        proof = snark.rerandomize_proof_1(
+            old.proof, old.v, v, self.snark_pk.vk,
+            self.snark_pk.eta_delta_inv_g1, rng)
+        return self._make_sp(rng, blindings, F(int(witness)), proof, v)
+
+    def _make_sp(self, rng, blindings, w_elem, proof, v):
         vk = self.snark_pk.vk
         comm_key = vk.get_commitment_key_for_witnesses()  # [base_w, eta/gamma]
         sc = PokPedersenCommitmentProtocol.init(
-            committed[0], blindings.get(0, F.rand(rng)), comm_key[0],
+            w_elem, blindings.get(0, F.rand(rng)), comm_key[0],
             v, F.rand(rng), comm_key[1])
         stmt = self
 
         class SP:
+            commitment_randomness = v
+
             def challenge_contribution(self, writer):
                 stmt._contribution(proof, sc.t, writer)
 
@@ -123,6 +138,18 @@ class SaverStatement(Statement):
         m = witness
         ct, r, g16_proof = saver_core.encrypt_with_proof(
             rng, m, self.ek, self.snark_pk, self.chunk_bit_size)
+        return self._make_sp(rng, blindings, m, ct, r, g16_proof)
+
+    def init_subprotocol_with_old(self, rng, blindings, witness, old):
+        """Reuse path (`sub_protocols/saver.rs:149-187`): rerandomize the
+        old ciphertext and Groth16 proof; the new total encryption
+        randomness is old.v + r'."""
+        ct, r_prime, proof = saver_core.rerandomize_ciphertext_and_proof(
+            old.ciphertext, old.proof, self.snark_pk.pk.vk, self.ek, rng)
+        return self._make_sp(rng, blindings, witness, ct, old.v + r_prime,
+                             proof)
+
+    def _make_sp(self, rng, blindings, m, ct, r, g16_proof):
         chunks = saver_core.decompose(m, self.chunk_bit_size)
         n = len(chunks)
         weights = self._radix_weights(n)
@@ -147,6 +174,8 @@ class SaverStatement(Statement):
         stmt = self
 
         class SP:
+            commitment_randomness = r
+
             def challenge_contribution(self, writer):
                 stmt._contribution(ct, J, sc_psi.t, sc_J.t, writer)
 

@@ -223,6 +223,30 @@ def encrypt_with_proof(rng, message: Fp, ek: EncryptionKey,
     return ct, r, proof
 
 
+def rerandomize_ciphertext_and_proof(ct: Ciphertext, proof: snark.Proof,
+                                     vk, ek: EncryptionKey, rng):
+    """Fresh-looking ciphertext + proof from an existing pair (reference
+    `saver/src/encryption.rs:208-238` + `saver_groth16.rs:109-136`):
+    adds X_i*r' to every ciphertext component and fixes the Groth16 proof
+    with A*z1, B/z1 + delta*z2, C + A*z1*z2 + P_2*r'.  Returns
+    (ct', r', proof'); the total encryption randomness becomes r + r'."""
+    r_prime = F.rand_nonzero(rng)
+    xr = (ct.X_r + ek.X_0 * int(r_prime)).normalize()
+    enc = [(c + ek.X[i] * int(r_prime)).normalize()
+           for i, c in enumerate(ct.enc_chunks)]
+    comm = (ct.commitment + ek.P_1 * int(r_prime)).normalize()
+    z1 = F.rand_nonzero(rng)
+    z2 = F.rand_nonzero(rng)
+    new_proof = snark.Proof(
+        a=(proof.a * int(z1)).normalize(),
+        b=(proof.b * int(z1.inverse()) + vk.delta_g2 * int(z2)).normalize(),
+        c=(proof.c + proof.a * int(z1 * z2)
+           + ek.P_2 * int(r_prime)).normalize(),
+        d=proof.d)
+    return Ciphertext(X_r=xr, enc_chunks=enc, commitment=comm), r_prime, \
+        new_proof
+
+
 def verify_ciphertext_commitment(ct: Ciphertext, ek: EncryptionKey,
                                  gens: EncryptionGens) -> bool:
     pairs = [(ct.X_r, ek.Z[0])]

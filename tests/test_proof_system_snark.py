@@ -107,3 +107,64 @@ def test_bbs_with_verifiable_encryption(cred, saver_setup):
     ct = proof.statement_proofs[1].ciphertext
     dec, nu = saver_core.decrypt(ct, sk, dk, g_i, cb)
     assert dec == messages[1]
+
+
+def test_prover_config_proof_reuse(cred, bound_srs, saver_setup):
+    """ProverConfig reuse (`prover.rs:76-120`): the second composite proof
+    rerandomizes the first one's SNARK material instead of re-proving."""
+    from crypto_tpu.proof_system.proof import (OldLegoGroth16Proof,
+                                               OldSaverProof, ProverConfig)
+    sig_params, issuer, messages, sig = cred
+    cb, gens, spk, g_i, sk, ek, dk = saver_setup
+    G = b.G1.rand(RNG).normalize()
+    H = b.G1.rand(RNG).normalize()
+
+    def build_spec():
+        spec = ProofSpec()
+        s0 = spec.add_statement(PoKBBSSignatureG1(
+            params=sig_params, public_key=issuer.public_key,
+            revealed_messages={}))
+        s1 = spec.add_statement(BoundCheckLegoGroth16(
+            min_val=18, max_val=100, snark_pk=bound_srs))
+        s2 = spec.add_statement(SaverStatement(
+            chunk_bit_size=cb, enc_gens=gens, ek=ek, snark_pk=spk,
+            comm_G=G, comm_H=H))
+        spec.add_witness_equality([(s0, 0), (s1, 0)])
+        spec.add_witness_equality([(s0, 1), (s2, 0)])
+        return spec
+
+    wits = [BBSWitness(signature=sig, messages=messages), messages[0],
+            messages[1]]
+
+    spec1 = build_spec()
+    cfg1 = ProverConfig()
+    proof1 = Proof.new(RNG, spec1, wits, nonce=b"r1", config=cfg1)
+    assert proof1.verify(RNG, spec1, nonce=b"r1")
+    assert 1 in cfg1.commitment_randomness
+    assert 2 in cfg1.commitment_randomness
+
+    ct1, saver_proof1 = proof1.get_saver_ciphertext_and_proof(2)
+    cfg2 = ProverConfig(
+        reuse_legogroth16_proofs={1: OldLegoGroth16Proof(
+            v=cfg1.commitment_randomness[1],
+            proof=proof1.get_legogroth16_proof(1))},
+        reuse_saver_proofs={2: OldSaverProof(
+            v=cfg1.commitment_randomness[2], ciphertext=ct1,
+            proof=saver_proof1)})
+    spec2 = build_spec()
+    proof2 = Proof.new(RNG, spec2, wits, nonce=b"r2", config=cfg2)
+    assert proof2.verify(RNG, spec2, nonce=b"r2")
+
+    # unlinkable: the reused material is rerandomized
+    ct2, saver_proof2 = proof2.get_saver_ciphertext_and_proof(2)
+    assert ct2.X_r != ct1.X_r
+    assert saver_proof2.a != saver_proof1.a
+    assert proof2.get_legogroth16_proof(1).a != \
+        proof1.get_legogroth16_proof(1).a
+
+    # and the auditor can still decrypt the rerandomized ciphertext
+    dec, _ = saver_core.decrypt(ct2, sk, dk, g_i, cb)
+    assert dec == messages[1]
+
+    # chaining: config2 recorded the new randomness for a third proof
+    assert 1 in cfg2.commitment_randomness and 2 in cfg2.commitment_randomness
