@@ -123,3 +123,89 @@ class MercurialSignature:
             Y=(self.Y * int(psi_inv)).normalize(),
             Y_hat=(self.Y_hat * int(psi_inv)).normalize())
         return sig, new_msgs
+
+    def change_rep_with_given_sig_converter(self, rng, mu: Fp,
+                                            sig_converter: Fp,
+                                            messages: list):
+        """ChangeRep + ConvertSig in one step (reference
+        `change_rep_with_given_sig_converter`, mercurial_sig.rs:229-243):
+        messages scale by mu while the signature additionally converts to
+        the key pk*sig_converter — used when the issuer public key is
+        hidden by randomizing it with `sig_converter`."""
+        psi_inv = F.rand_nonzero(rng).inverse()
+        psi = psi_inv.inverse()
+        new_msgs = [(m * int(mu)).normalize() for m in messages]
+        sig = MercurialSignature(
+            Z=(self.Z * int(psi * mu * sig_converter)).normalize(),
+            Y=(self.Y * int(psi_inv)).normalize(),
+            Y_hat=(self.Y_hat * int(psi_inv)).normalize())
+        return sig, new_msgs
+
+
+# ---------------------------------------------------------------------------
+# Dual scheme: messages in G2, public key in G1 (reference
+# `mercurial_sig.rs` SignatureG2/PublicKeyG1, the macro instantiation with
+# swapped groups).  Used by the Protego delegation-policy show to sign
+# issuer public keys (which live in G2).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MercurialPublicKeyG1:
+    X: list    # [P1 * x_i]
+
+    @classmethod
+    def generate(cls, sk: MercurialSecretKey, P1: Point = None):
+        P1 = P1 if P1 is not None else bls.G1.generator()
+        return cls([(P1 * int(x)).normalize() for x in sk.x])
+
+    def convert(self, mu: Fp) -> "MercurialPublicKeyG1":
+        return MercurialPublicKeyG1([(x * int(mu)).normalize()
+                                     for x in self.X])
+
+
+@dataclass
+class MercurialSignatureG2:
+    """Signature on G2 messages: Z in G2, Y in G2, Y_tilde in G1."""
+    Z: Point
+    Y: Point
+    Y_tilde: Point
+
+    @classmethod
+    def new(cls, rng, messages: list, sk: MercurialSecretKey,
+            P1: Point = None, P2: Point = None):
+        assert len(messages) <= len(sk.x)
+        P1 = P1 if P1 is not None else bls.G1.generator()
+        P2 = P2 if P2 is not None else bls.G2.generator()
+        y_inv = F.rand_nonzero(rng)
+        y = y_inv.inverse()
+        acc = bls.G2.infinity()
+        for m, x in zip(messages, sk.x):
+            acc = acc + m * int(x)
+        return cls(Z=(acc * int(y)).normalize(),
+                   Y=(P2 * int(y_inv)).normalize(),
+                   Y_tilde=(P1 * int(y_inv)).normalize())
+
+    def verify(self, messages: list, pk: MercurialPublicKeyG1,
+               P1: Point = None, P2: Point = None) -> bool:
+        if len(messages) > len(pk.X):
+            return False
+        P1 = P1 if P1 is not None else bls.G1.generator()
+        P2 = P2 if P2 is not None else bls.G2.generator()
+        pairs = [(x, m) for x, m in zip(pk.X, messages)]
+        pairs.append(((-self.Y_tilde).normalize(), self.Z))
+        if not bls.multi_pairing(pairs).is_one():
+            return False
+        return bls.multi_pairing([
+            (self.Y_tilde, P2),
+            ((-P1).normalize(), self.Y)]).is_one()
+
+    def change_rep(self, rng, rho: Fp, messages: list):
+        """ChangeRep for G2 messages: returns (new sig, messages*rho)."""
+        psi_inv = F.rand_nonzero(rng).inverse()
+        psi = psi_inv.inverse()
+        new_msgs = [(m * int(rho)).normalize() for m in messages]
+        sig = MercurialSignatureG2(
+            Z=(self.Z * int(psi * rho)).normalize(),
+            Y=(self.Y * int(psi_inv)).normalize(),
+            Y_tilde=(self.Y_tilde * int(psi_inv)).normalize())
+        return sig, new_msgs

@@ -256,19 +256,27 @@ class ProtegoShowProtocol:
                       usk: ProtegoUserSecretKey,
                       upk: Optional[ProtegoUserPublicKey],
                       apk: Optional[AuditorPublicKey],
-                      srs: SetCommitmentSRS):
+                      srs: SetCommitmentSRS,
+                      sig_converter: Optional[Fp] = None):
         """Show with selective disclosure (holder supplies usk to open the
         subset witness, mirroring the reference where the opening contains
-        the set-commitment randomness = usk)."""
+        the set-commitment randomness = usk).  `sig_converter` additionally
+        converts the signature to the randomized issuer key pk*rho
+        (signer-hidden shows, `known_signer.rs:222-228`)."""
         P1, P2 = srs.P1_powers[0], srs.P2_powers[0]
         msgs = [credential.C1,
                 (credential.C1 * int(credential.r4)).normalize(), P1]
         if credential.auditable_sig:
             msgs += [upk.pk, apk.pk]
         mu = F.rand_nonzero(rng)
-        signature, c_prime = \
-            credential.signature.change_rep_with_given_randomness(
-                mu, F.rand_nonzero(rng).inverse(), msgs)
+        if sig_converter is not None:
+            signature, c_prime = \
+                credential.signature.change_rep_with_given_sig_converter(
+                    rng, mu, sig_converter, msgs)
+        else:
+            signature, c_prime = \
+                credential.signature.change_rep_with_given_randomness(
+                    mu, F.rand_nonzero(rng).inverse(), msgs)
         witness = None
         if disclosed_attributes:
             witness = SubsetWitness.new(

@@ -263,3 +263,81 @@ def test_delegatable_accumulator():
     rand_factor = ((P1_s - P1 * int(members[0])) * int(r * tau.inverse())
                    ).normalize()
     assert rwit.verify(rand_accum, rand_factor, pk, P2)
+
+
+def test_protego_signer_hidden_with_decoys():
+    """Ring-hidden issuer (`signer_hidden_with_decoys.rs` tests)."""
+    from crypto_tpu.delegatable_credentials.protego import (
+        ProtegoIssuerPublicKey, ProtegoIssuerSecretKey,
+        ProtegoUserPublicKey, ProtegoUserSecretKey, issue_credential)
+    from crypto_tpu.delegatable_credentials.protego_anonymous import (
+        ShowProtocolHiddenPk)
+    from crypto_tpu.delegatable_credentials.one_of_n import OneOfNSrs
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+
+    srs = SetCommitmentSRS.generate(RNG, 10)
+    P1 = srs.P1_powers[0]
+    isk = ProtegoIssuerSecretKey.generate(RNG)
+    ipk = ProtegoIssuerPublicKey.generate(isk)
+    decoys = [ProtegoIssuerPublicKey.generate(
+        ProtegoIssuerSecretKey.generate(RNG)) for _ in range(3)]
+    one_of_n_srs, _ = OneOfNSrs.new(RNG, P1)
+    usk = ProtegoUserSecretKey.generate(RNG)
+    upk = ProtegoUserPublicKey.generate(usk, P1)
+
+    attrs = [F.rand(RNG) for _ in range(4)]
+    cred = issue_credential(RNG, attrs, usk, upk, isk, None, srs)
+
+    disclose = attrs[:1]
+    prot = ShowProtocolHiddenPk.init(RNG, cred, disclose, ipk, decoys,
+                                     one_of_n_srs, usk, None, None, srs)
+    w = ByteWriter()
+    prot.challenge_contribution(srs, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    show = prot.gen_show(usk, c)
+    possible = decoys + [ipk]
+    assert show.verify(c, disclose, possible, one_of_n_srs, None, srs)
+    # the randomized key is not any of the originals
+    assert all(show.pubkey_anonymity_proof.randomized_pk.pk.X_hat
+               != pk.pk.X_hat for pk in possible)
+    # verification against a set NOT containing the issuer fails
+    assert not show.verify(c, disclose, decoys, one_of_n_srs, None, srs)
+
+
+def test_protego_signer_hidden_with_policy():
+    """Delegation-policy-hidden issuer (`signer_hidden_with_policy.rs`)."""
+    from crypto_tpu.delegatable_credentials.protego import (
+        ProtegoIssuerPublicKey, ProtegoIssuerSecretKey,
+        ProtegoUserPublicKey, ProtegoUserSecretKey, issue_credential)
+    from crypto_tpu.delegatable_credentials.protego_anonymous import (
+        DelegationPolicyPublicKey, DelegationPolicySecretKey,
+        ShowProtocolWithDelegationPolicy)
+    from crypto_tpu.serialize import ByteWriter
+    from crypto_tpu.hashing import compute_random_oracle_challenge
+
+    srs = SetCommitmentSRS.generate(RNG, 10)
+    P1, P2 = srs.P1_powers[0], srs.P2_powers[0]
+    isk = ProtegoIssuerSecretKey.generate(RNG)
+    ipk = ProtegoIssuerPublicKey.generate(isk)
+    policy_sk = DelegationPolicySecretKey.new(RNG, 5)
+    policy_pk = DelegationPolicyPublicKey.new(policy_sk, P1)
+    policy_sig = policy_sk.sign_public_key(RNG, ipk, P1, P2)
+    assert policy_sig.verify(ipk.pk.X_hat, policy_pk.pk, P1=P1, P2=P2)
+
+    usk = ProtegoUserSecretKey.generate(RNG)
+    upk = ProtegoUserPublicKey.generate(usk, P1)
+    attrs = [F.rand(RNG) for _ in range(4)]
+    cred = issue_credential(RNG, attrs, usk, upk, isk, None, srs)
+
+    prot = ShowProtocolWithDelegationPolicy.init(
+        RNG, cred, attrs[:2], ipk, policy_sig, usk, None, None, srs)
+    w = ByteWriter()
+    prot.challenge_contribution(srs, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    show = prot.gen_show(usk, c)
+    assert show.verify(c, attrs[:2], policy_pk, None, srs)
+    # a different policy authority rejects
+    other_pk = DelegationPolicyPublicKey.new(
+        DelegationPolicySecretKey.new(RNG, 5), P1)
+    assert not show.verify(c, attrs[:2], other_pk, None, srs)

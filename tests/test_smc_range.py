@@ -181,3 +181,57 @@ def test_kv_range_proofs():
     assert proof2.verify(commitment2, c2, lo, hi, ck, params, params.sk)
     assert not proof2.verify(commitment2, c2, 140, hi, ck, params,
                              params.sk)
+
+
+def test_set_membership_cdh_batch_kv():
+    """CDH, batch, and keyed-verification set-membership variants
+    (reference `ccs_set_membership/{single_member_cdh,batch_members,
+    kv_single}.rs`)."""
+    from crypto_tpu.smc_range_proof.set_membership import (
+        SetMembershipBatchCheckProtocol, SetMembershipCheckCDHProtocol,
+        SetMembershipCheckWithKVProtocol)
+    from crypto_tpu.smc_range_proof.ccs import (MemberCommitmentKey,
+                                                SetMembershipCheckParams)
+    from crypto_tpu.smc_range_proof.kv import SetMembershipCheckParamsKV
+
+    rng = random.Random(31)
+    members = [F.rand(rng) for _ in range(6)]
+    ck = MemberCommitmentKey.new(b"sm-ck")
+    params = SetMembershipCheckParams.new(rng, b"sm-params", members)
+
+    # CDH single
+    member, r = members[2], F.rand(rng)
+    comm = ck.commit(member, r)
+    prot = SetMembershipCheckCDHProtocol.init(rng, member, r, ck, params)
+    w = ByteWriter()
+    prot.challenge_contribution(comm, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(comm, c, ck, params)
+    # wrong commitment rejected
+    assert not proof.verify(ck.commit(member, F.rand(rng)), c, ck, params)
+
+    # batch
+    batch = [members[0], members[3], members[3]]
+    rs = [F.rand(rng) for _ in batch]
+    comms = [ck.commit(m, ri) for m, ri in zip(batch, rs)]
+    bprot = SetMembershipBatchCheckProtocol.init(rng, batch, rs, ck, params)
+    w = ByteWriter()
+    bprot.challenge_contribution(comms, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    bproof = bprot.gen_proof(c)
+    assert bproof.verify(comms, c, ck, params)
+    assert not bproof.verify(list(reversed(comms)), c, ck, params)
+
+    # KV single
+    kv_params = SetMembershipCheckParamsKV.new(rng, b"sm-kv", members)
+    kprot = SetMembershipCheckWithKVProtocol.init(rng, member, r, ck,
+                                                  kv_params)
+    w = ByteWriter()
+    kprot.challenge_contribution(comm, ck, kv_params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    kproof = kprot.gen_proof(c)
+    assert kproof.verify(comm, c, ck, kv_params, kv_params.sk)
+    from crypto_tpu.short_group_sig.weak_bb import WeakBBSecretKey
+    assert not kproof.verify(comm, c, ck, kv_params,
+                             WeakBBSecretKey.generate(rng))
