@@ -181,3 +181,15 @@ class PoKBBDT16MAC(Statement):
 
     def response_for_witness(self, proof, wit_idx):
         return proof.get_resp_for_message(wit_idx, set(self.revealed_messages))
+
+
+@dataclass
+class PoKBBDT16MACFullVerifier(PoKBBDT16MAC):
+    """`bbdt16_kvac.rs` PoKOfMACFullVerifier: the verifier knows the MAC
+    secret key and checks B_0 * x == C in addition to the Schnorr legs."""
+    secret_key: KVACSecretKey = None
+
+    def verify_proof(self, proof, challenge, pairing_checker=None):
+        super().verify_proof(proof, challenge, pairing_checker)
+        if not self.verify_with_key(proof, self.secret_key):
+            raise ProofSystemError("KVAC MAC keyed check failed")

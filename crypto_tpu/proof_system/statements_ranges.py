@@ -395,3 +395,87 @@ class VETZ21Proof:
     t: Point
     sc: SchnorrResponse
     ve_proof: object
+
+
+# ---------------------------------------------------------------------------
+# SMC bound check with keyed verification
+# (`statement/bound_check_smc_with_kv.rs` + `sub_protocols/
+# bound_check_smc_with_kv.rs`)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BoundCheckSmcWithKVProver(Statement):
+    """Same commitment + CCS arbitrary-range structure as `BoundCheckSmc`
+    but the per-digit weak-BB signature checks are keyed-verification:
+    no pairings anywhere.  The prover statement carries only the public
+    KV params; a plain verifier can check only commitment consistency."""
+    min_val: int
+    max_val: int
+    params: object       # SetMembershipCheckParamsKV
+    comm_key: MemberCommitmentKey
+    base: int = 2
+
+    def init_subprotocol(self, rng, blindings, witness):
+        from ..smc_range_proof.kv import CCSArbitraryRangeKVProtocol
+        v = int(witness)
+        r = F.rand(rng)
+        commitment = self.comm_key.commit(F(v), r)
+        prot = CCSArbitraryRangeKVProtocol.init(
+            rng, v, r, self.min_val, self.max_val, self.base,
+            self.comm_key, self.params)
+        msg_blinding = blindings.get(0, F.rand(rng))
+        sc = SchnorrCommitment.new([self.comm_key.g, self.comm_key.h],
+                                   [msg_blinding, F.rand(rng)])
+        wits = [F(v), r]
+        stmt = self
+
+        class SP:
+            def challenge_contribution(self, writer):
+                prot.challenge_contribution(commitment, stmt.comm_key,
+                                            stmt.params, writer)
+                writer.point(sc.t)
+
+            def gen_proof(self, challenge):
+                return BoundCheckSmcKVProof(
+                    commitment=commitment,
+                    range_proof=prot.gen_proof(challenge),
+                    sc=sc.response(wits, challenge), t=sc.t)
+
+        return SP()
+
+    def proof_challenge_contribution(self, proof, writer):
+        proof.range_proof.challenge_contribution(
+            proof.commitment, self.comm_key, self.params, writer)
+        writer.point(proof.t)
+
+    def verify_proof(self, proof, challenge, pairing_checker=None):
+        # without the secret key only the Schnorr opening is checkable
+        if not proof.sc.is_valid([self.comm_key.g, self.comm_key.h],
+                                 proof.commitment, proof.t, challenge):
+            raise ProofSystemError("SMC-KV commitment opening failed")
+
+    def response_for_witness(self, proof, wit_idx):
+        assert wit_idx == 0
+        return proof.sc.get_response(0)
+
+
+@dataclass
+class BoundCheckSmcWithKVVerifier(BoundCheckSmcWithKVProver):
+    """Holds the weak-BB secret key and fully verifies the KV range
+    proof (`bound_check_smc_with_kv.rs:75-118`)."""
+    secret_key: object = None    # WeakBBSecretKey
+
+    def verify_proof(self, proof, challenge, pairing_checker=None):
+        super().verify_proof(proof, challenge, pairing_checker)
+        if not proof.range_proof.verify(
+                proof.commitment, challenge, self.min_val, self.max_val,
+                self.comm_key, self.params, self.secret_key):
+            raise ProofSystemError("SMC-KV range proof failed")
+
+
+@dataclass
+class BoundCheckSmcKVProof:
+    commitment: Point
+    range_proof: object
+    sc: SchnorrResponse
+    t: Point

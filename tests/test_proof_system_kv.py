@@ -175,3 +175,62 @@ def test_detached_non_membership(world):
         params=params, public_key=kp.public_key,
         secret_key=kp.secret_key, Q=Q))
     assert proof.verify(RNG, spec_v, nonce=b"d2")
+
+
+def test_bound_check_smc_kv_and_kvac_full_verifier():
+    """SMC-KV bound check + BBDT16 full-verifier statements (reference
+    `bound_check_smc_with_kv.rs`, `bbdt16_kvac.rs`)."""
+    from crypto_tpu.smc_range_proof.kv import SetMembershipCheckParamsKV
+    from crypto_tpu.smc_range_proof.ccs import MemberCommitmentKey
+    from crypto_tpu.proof_system.statements_ranges import (
+        BoundCheckSmcWithKVProver, BoundCheckSmcWithKVVerifier)
+    from crypto_tpu.proof_system.statements_more import (
+        KVACWitness, PoKBBDT16MACFullVerifier)
+    from crypto_tpu.kvac.bbdt16 import KVACSecretKey, MAC, MACParams
+
+    rng = random.Random(606)
+    base = 4
+    params_kv = SetMembershipCheckParamsKV.new_for_range_proof(
+        rng, b"smc-kv-rp", base)
+    ck = MemberCommitmentKey.new(b"smc-kv-ck")
+
+    mac_params = MACParams.new(b"kvac-params", 3)
+    sk = KVACSecretKey.generate(rng)
+    msgs = [F(57), F.rand(rng), F.rand(rng)]
+    mac = MAC.new(rng, msgs, sk, mac_params)
+
+    spec_p = ProofSpec(context=b"smckv")
+    s0 = spec_p.add_statement(PoKBBDT16MACFullVerifier(
+        params=mac_params, revealed_messages={1: msgs[1]}, secret_key=sk))
+    s1 = spec_p.add_statement(BoundCheckSmcWithKVProver(
+        min_val=18, max_val=100, params=params_kv, comm_key=ck, base=base))
+    spec_p.add_witness_equality([(s0, 0), (s1, 0)])
+    wits = [KVACWitness(mac=mac, messages=msgs), F(57)]
+    proof = Proof.new(RNG, spec_p, wits, nonce=b"kv3")
+
+    # full-verifier spec with the range secret key
+    spec_v = ProofSpec(context=b"smckv")
+    s0 = spec_v.add_statement(PoKBBDT16MACFullVerifier(
+        params=mac_params, revealed_messages={1: msgs[1]}, secret_key=sk))
+    s1 = spec_v.add_statement(BoundCheckSmcWithKVVerifier(
+        min_val=18, max_val=100, params=params_kv, comm_key=ck, base=base,
+        secret_key=params_kv.sk))
+    spec_v.add_witness_equality([(s0, 0), (s1, 0)])
+    assert proof.verify(RNG, spec_v, nonce=b"kv3")
+
+    # out-of-range witness cannot even init
+    with pytest.raises(Exception):
+        Proof.new(RNG, spec_p, [KVACWitness(mac=mac, messages=msgs), F(7)],
+                  nonce=b"kv4")
+
+    # wrong MAC secret key fails
+    spec_bad = ProofSpec(context=b"smckv")
+    s0 = spec_bad.add_statement(PoKBBDT16MACFullVerifier(
+        params=mac_params, revealed_messages={1: msgs[1]},
+        secret_key=KVACSecretKey.generate(rng)))
+    s1 = spec_bad.add_statement(BoundCheckSmcWithKVVerifier(
+        min_val=18, max_val=100, params=params_kv, comm_key=ck, base=base,
+        secret_key=params_kv.sk))
+    spec_bad.add_witness_equality([(s0, 0), (s1, 0)])
+    with pytest.raises(ProofSystemError):
+        proof.verify(RNG, spec_bad, nonce=b"kv3")
