@@ -281,3 +281,139 @@ class PoKOfMAC:
         (reference `proof.rs` `to_keyed_proof`)."""
         from .keyed_proof import KeyedProof
         return KeyedProof(B_0=self.B_0, C=self.C)
+
+
+# ---------------------------------------------------------------------------
+# Original show protocol (reference `bbdt_2016/proof.rs`, Fig.2(2) of the
+# paper): adds the E = C*(1/l) + f*t commitment over an extra public base f
+# so the C-relation proof stays zero-knowledge even toward the key holder.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PoKOfMACOriginalProtocol:
+    B_0: Point
+    C: Point
+    E: Point
+    sc_E: PokPedersenCommitmentProtocol
+    sc_C: PokPedersenCommitmentProtocol
+    sc_comm_msgs: SchnorrCommitment
+    sc_wits_msgs: list
+
+    @classmethod
+    def init(cls, rng, mac: MAC, params: MACParams,
+             messages_and_blindings, f: Point):
+        messages = [mb.message for mb in messages_and_blindings]
+        indexed_blindings = [
+            (i, mb.blinding if mb.blinding is not None else F.rand(rng))
+            for i, mb in enumerate(messages_and_blindings) if not mb.reveal
+        ]
+        minus_e = -mac.e
+        l = F.rand_nonzero(rng)
+        t = F.rand(rng)
+        alpha = l.inverse()
+        lam = minus_e * alpha
+        gamma = -(l * t)
+
+        B_0 = (mac.A * int(l)).normalize()
+        b = params.b(list(enumerate(messages)), mac.s)
+        C = (b * int(l) + B_0 * int(minus_e)).normalize()
+        E = (C * int(alpha) + f * int(t)).normalize()
+        t_blinding = F.rand(rng)
+        sc_E = PokPedersenCommitmentProtocol.init(
+            alpha, F.rand(rng), C, t, t_blinding, f)
+        sc_C = PokPedersenCommitmentProtocol.init(
+            l, F.rand(rng), E, gamma, F.rand(rng), f)
+
+        bases = [params.g_vec[i] for i, _ in indexed_blindings] + \
+            [params.g, B_0, f]
+        randomness = [bl for _, bl in indexed_blindings] + \
+            [F.rand(rng), F.rand(rng), t_blinding]
+        wits = [messages[i] for i, _ in indexed_blindings] + \
+            [mac.s, lam, t]
+        return cls(B_0=B_0, C=C, E=E, sc_E=sc_E, sc_C=sc_C,
+                   sc_comm_msgs=SchnorrCommitment.new(bases, randomness),
+                   sc_wits_msgs=wits)
+
+    def challenge_contribution(self, revealed_msgs: dict, params: MACParams,
+                               f: Point, writer: ByteWriter):
+        _pok_orig_contribution(self.B_0, self.C, self.E, self.sc_C.t,
+                               self.sc_E.t, revealed_msgs, params, f, writer)
+
+    def gen_proof(self, challenge: Fp) -> "PoKOfMACOriginal":
+        return PoKOfMACOriginal(
+            B_0=self.B_0, C=self.C, E=self.E,
+            sc_E=self.sc_E.gen_proof(challenge),
+            sc_C=self.sc_C.gen_proof(challenge),
+            t_msgs=self.sc_comm_msgs.t,
+            sc_resp_msgs=self.sc_comm_msgs.response(self.sc_wits_msgs,
+                                                    challenge))
+
+
+def _pok_orig_contribution(B_0, C, E, t_C, t_E, revealed_msgs, params, f,
+                           writer: ByteWriter):
+    writer.point(B_0)
+    writer.point(E)
+    writer.point(C)
+    writer.point(f)
+    writer.point(params.h)
+    writer.point(params.g)
+    writer.point(t_C)
+    writer.point(t_E)
+    for i in range(len(params.g_vec)):
+        writer.point(params.g_vec[i])
+        if i in revealed_msgs:
+            writer.field(revealed_msgs[i])
+
+
+@dataclass
+class PoKOfMACOriginal:
+    B_0: Point
+    C: Point
+    E: Point
+    sc_E: PokPedersenCommitment
+    sc_C: PokPedersenCommitment
+    t_msgs: Point
+    sc_resp_msgs: SchnorrResponse
+
+    def challenge_contribution(self, revealed_msgs: dict, params: MACParams,
+                               f: Point, writer: ByteWriter):
+        _pok_orig_contribution(self.B_0, self.C, self.E, self.sc_C.t,
+                               self.sc_E.t, revealed_msgs, params, f, writer)
+
+    def verify_schnorr(self, revealed_msgs: dict, challenge: Fp,
+                       params: MACParams, f: Point) -> bool:
+        if self.B_0.is_infinity():
+            return False
+        # t-response shared between sc_E and the message commitment
+        if self.sc_E.response2 != self.sc_resp_msgs.get_response(
+                len(self.sc_resp_msgs.responses) - 1):
+            return False
+        if not self.sc_E.verify(self.E, self.C, f, challenge):
+            return False
+        if not self.sc_C.verify(self.C, self.E, f, challenge):
+            return False
+        hidden = [i for i in range(len(params.g_vec))
+                  if i not in revealed_msgs]
+        bases = [params.g_vec[i] for i in hidden] + \
+            [params.g, self.B_0, f]
+        pts = [params.h] + [params.g_vec[i] for i in revealed_msgs]
+        sc = [F(1)] + [revealed_msgs[i] for i in revealed_msgs]
+        y = (self.E - msm(pts, sc)).normalize()
+        return self.sc_resp_msgs.is_valid(bases, y, self.t_msgs, challenge)
+
+    def verify(self, revealed_msgs: dict, challenge: Fp, sk: KVACSecretKey,
+               params: MACParams, f: Point) -> bool:
+        if (self.B_0 * int(sk.x)) != self.C:
+            return False
+        return self.verify_schnorr(revealed_msgs, challenge, params, f)
+
+    def get_resp_for_message(self, msg_idx: int, revealed_ids=None) -> Fp:
+        revealed_ids = revealed_ids or set()
+        if msg_idx in revealed_ids:
+            raise KVACError("message is revealed")
+        adjusted = sum(1 for j in range(msg_idx) if j not in revealed_ids)
+        return self.sc_resp_msgs.get_response(adjusted)
+
+    def to_keyed_proof(self):
+        from .keyed_proof import KeyedProof
+        return KeyedProof(B_0=self.B_0, C=self.C)

@@ -131,3 +131,46 @@ def test_bbdt16_to_keyed_proof():
                                       (params.g * int(sk.x)).normalize(),
                                       params.g)
     assert pov.verify(kp, (params.g * int(sk.x)).normalize(), params.g)
+
+
+def test_bbdt16_original_show():
+    """Original Fig.2(2) show protocol with the E commitment over f
+    (reference `bbdt_2016/proof.rs`)."""
+    from crypto_tpu.kvac.bbdt16 import PoKOfMACOriginalProtocol
+    from crypto_tpu.hashing import group_elem_from_try_and_incr
+
+    params = MACParams.new(b"orig-show", 4)
+    sk = KVACSecretKey.generate(RNG)
+    messages = [F.rand(RNG) for _ in range(4)]
+    mac = MAC.new(RNG, messages, sk, params)
+    f = group_elem_from_try_and_incr(b.G1, b"pseudonym-base").normalize()
+
+    revealed = {1: messages[1]}
+    mabs = [MessageOrBlinding.reveal_message(m) if i in revealed
+            else MessageOrBlinding.blind_randomly(m)
+            for i, m in enumerate(messages)]
+    prot = PoKOfMACOriginalProtocol.init(RNG, mac, params, mabs, f)
+    w = ByteWriter()
+    prot.challenge_contribution(revealed, params, f, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+
+    # transcripts agree between prover and verifier
+    w2 = ByteWriter()
+    proof.challenge_contribution(revealed, params, f, w2)
+    assert bytes(w2.buf) == bytes(w.buf)
+
+    # anyone can check the Schnorr part; the key holder the full proof
+    assert proof.verify_schnorr(revealed, c, params, f)
+    assert proof.verify(revealed, c, sk, params, f)
+    # delegated keyed part
+    assert proof.to_keyed_proof().verify(sk.x)
+    # wrong revealed message fails
+    assert not proof.verify_schnorr({1: messages[1] + F(1)}, c, params, f)
+    # wrong key fails
+    assert not proof.verify(revealed, c, KVACSecretKey.generate(RNG),
+                            params, f)
+    # hidden-message responses exist and revealed raise
+    proof.get_resp_for_message(0, set(revealed))
+    with pytest.raises(Exception):
+        proof.get_resp_for_message(1, set(revealed))
