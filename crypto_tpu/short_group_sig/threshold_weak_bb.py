@@ -46,6 +46,15 @@ class ThresholdWeakBBSigner:
 def run_threshold_weak_bb(rng, signers: dict, message: Fp, g1: Point):
     """In-process execution (callers transport the pairwise OT messages in a
     real deployment).  Returns the standard WeakBBSig."""
+    return WeakBBSig(A=shared_inverse_times_base(rng, signers, message, g1))
+
+
+def shared_inverse_times_base(rng, signers: dict, message: Fp,
+                              g1: Point) -> Point:
+    """base * 1/(message + x) for Shamir-shared x — the common core of
+    threshold weak-BB signing, threshold accumulator updates
+    (`vb_accumulator/src/threshold/mod.rs`) and SyRA threshold issuance
+    (`syra/src/threshold_issuance.rs`)."""
     ids = sorted(signers)
     # u = r*(e+x) = sum_i r_i*(e + lx_i) + sum_{i != j} r_i*lx_j
     u_shares = {i: signers[i].r * (message + signers[i].lx) for i in ids}
@@ -72,5 +81,4 @@ def run_threshold_weak_bb(rng, signers: dict, message: Fp, g1: Point):
     R = bls.G1.infinity()
     for i in ids:
         R = R + g1 * int(signers[i].r)
-    A = (R * int(u.inverse())).normalize()
-    return WeakBBSig(A=A)
+    return (R * int(u.inverse())).normalize()

@@ -235,3 +235,69 @@ def test_set_membership_cdh_batch_kv():
     from crypto_tpu.short_group_sig.weak_bb import WeakBBSecretKey
     assert not kproof.verify(comm, c, ck, kv_params,
                              WeakBBSecretKey.generate(rng))
+
+
+def test_cdh_range_variants():
+    """CDH + CLS-KV range proof variants (reference
+    `ccs_range_proof/*_cdh.rs`, `cls_range_proof/{range_proof_cdh,
+    kv_range_proof}.rs`)."""
+    from crypto_tpu.smc_range_proof.cdh import (
+        CCSArbitraryRangeCDHProtocol, CCSPerfectRangeCDHProtocol,
+        CLSRangeCDHProtocol)
+    from crypto_tpu.smc_range_proof.ccs import (MemberCommitmentKey,
+                                                SetMembershipCheckParams)
+    from crypto_tpu.smc_range_proof.kv import SetMembershipCheckParamsKV
+
+    rng = random.Random(92)
+    base = 4
+    params = SetMembershipCheckParams.new_for_range_proof(rng, b"cdh-rp",
+                                                          base)
+    ck = MemberCommitmentKey.new(b"cdh-ck")
+    val, r = 37, F.rand(rng)
+    comm = ck.commit(F(val), r)
+
+    # perfect range [0, base^l)
+    prot = CCSPerfectRangeCDHProtocol.init(rng, val, r, 256, base, ck,
+                                           params)
+    w = ByteWriter()
+    prot.challenge_contribution(comm, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(comm, c, 256, ck, params)
+    checker = RandomizedPairingChecker(F.rand(rng), lazy=True)
+    assert proof.verify(comm, c, 256, ck, params, checker)
+    assert checker.verify()
+
+    # arbitrary range [min, max)
+    prot = CCSArbitraryRangeCDHProtocol.init(rng, val, r, 18, 100, base,
+                                             ck, params)
+    w = ByteWriter()
+    prot.challenge_contribution(comm, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(comm, c, 18, 100, ck, params)
+    assert not proof.verify(comm, c, 40, 100, ck, params)
+
+    # CLS sumset, CDH
+    prot = CLSRangeCDHProtocol.init(rng, val, r, 18, 100, base, ck, params)
+    w = ByteWriter()
+    prot.challenge_contribution(comm, ck, params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(comm, c, 18, 100, ck, params)
+    assert not proof.verify(ck.commit(F(val), F.rand(rng)), c, 18, 100,
+                            ck, params)
+
+    # CLS sumset, keyed verification
+    kv_params = SetMembershipCheckParamsKV.new_for_range_proof(
+        rng, b"cdh-kv-rp", base)
+    prot = CLSRangeCDHProtocol.init(rng, val, r, 18, 100, base, ck,
+                                    kv_params, kv=True)
+    w = ByteWriter()
+    prot.challenge_contribution(comm, ck, kv_params, w)
+    c = compute_random_oracle_challenge(F, bytes(w.buf))
+    proof = prot.gen_proof(c)
+    assert proof.verify(comm, c, 18, 100, ck, kv_params, kv_params.sk)
+    from crypto_tpu.short_group_sig.weak_bb import WeakBBSecretKey
+    assert not proof.verify(comm, c, 18, 100, ck, kv_params,
+                            WeakBBSecretKey.generate(rng))

@@ -254,3 +254,63 @@ def test_naor_pinkas_and_endemic_ot():
         keys = es.keys(er.B)
         assert er.key(es.A) == keys[choice]
         assert keys[0] != keys[1]
+
+
+def test_threshold_accumulator_ops():
+    """Threshold witness generation + removal (reference
+    `vb_accumulator/src/threshold/mod.rs` test flow)."""
+    from crypto_tpu.accumulator.setup import AccumKeypair, AccumSetupParams
+    from crypto_tpu.accumulator.core import PositiveAccumulator
+    from crypto_tpu.accumulator.persistence import InMemoryState
+    from crypto_tpu.accumulator.threshold import (
+        make_threshold_managers, threshold_membership_witness,
+        threshold_remove)
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+
+    rng = random.Random(71)
+    params = AccumSetupParams.new(b"thresh-accum")
+    kp = AccumKeypair.generate(rng, params)
+    state = InMemoryState()
+    elems = [F.rand(rng) for _ in range(3)]
+    accum = PositiveAccumulator.initialize(params)
+    accum = accum.add_batch(elems, kp.secret_key, state)
+
+    # share alpha among 5 managers, use 3
+    shares, _ = shamir_deal_secret(rng, kp.secret_key.alpha, 3, 5)
+    sub = {s.id: s.share for s in shares.shares[:3]}
+    managers = make_threshold_managers(rng, sub)
+
+    wit = threshold_membership_witness(rng, managers, elems[0],
+                                       accum.value())
+    assert accum.verify_membership(elems[0], wit, kp.public_key, params)
+
+    managers2 = make_threshold_managers(rng, sub)
+    V_new = threshold_remove(rng, managers2, elems[1], accum.value())
+    direct = accum.remove(elems[1], kp.secret_key, state)
+    assert V_new == direct.value()
+
+
+def test_syra_threshold_issuance():
+    """Threshold SyRA usk issuance (reference
+    `syra/src/threshold_issuance.rs`)."""
+    from crypto_tpu.syra.core import (IssuerPublicKey, IssuerSecretKey,
+                                      SyraSetupParams)
+    from crypto_tpu.syra.threshold_issuance import (make_threshold_issuers,
+                                                    threshold_issue_usk)
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+
+    rng = random.Random(72)
+    params = SyraSetupParams.new(b"syra-thresh")
+    isk = IssuerSecretKey.generate(rng)
+    ipk = IssuerPublicKey.new(isk, params)
+    uid = F.rand(rng)
+
+    shares, _ = shamir_deal_secret(rng, isk.sk, 2, 4)
+    sub = {s.id: s.share for s in shares.shares[1:3]}
+    issuers = make_threshold_issuers(rng, sub)
+    usk = threshold_issue_usk(rng, issuers, uid, params)
+    assert usk.verify(uid, ipk, params)
+    # and it matches central issuance
+    from crypto_tpu.syra.core import UserSecretKey
+    central = UserSecretKey.issue(uid, isk, params)
+    assert usk.usk == central.usk
