@@ -480,9 +480,14 @@ def _gipa_tipp_mipp(transcript, a, b, c, d, vkey, wkey, r, ip_ab, agg_c,
 def verify_aggregate_proof(v_srs: VerifierSRS, vk, public_inputs: list,
                            proof: AggregateProof, rng,
                            transcript: Transcript,
-                           pairing_checker=None) -> bool:
+                           pairing_checker=None,
+                           prepared_inputs: list = None) -> bool:
     """vk: legogroth16 VerifyingKey.  public_inputs: per-proof input lists.
-    For Lego proofs the committed-witness part is absorbed via z_d."""
+    For Lego proofs the committed-witness part is absorbed via z_d.
+    `prepared_inputs`: per-proof PREPARED input points (already including
+    gamma_abc[0]) instead of scalar inputs — the SAVER aggregation path,
+    where the input is derived from the ciphertext
+    (`saver_groth16.rs` verify_aggregate_proof)."""
     proof.parsing_check()
     if len(public_inputs) != proof.gipa.nproofs:
         raise AggregationError("public input count != proof count")
@@ -503,16 +508,22 @@ def verify_aggregate_proof(v_srs: VerifierSRS, vk, public_inputs: list,
     for p in r_powers:
         r_sum = r_sum + p
 
-    # aggregate public inputs: gamma_abc[0]*r_sum + sum_j gamma_abc[1+i] *
-    # (sum_j r^j * input_j_i)
-    num_inputs = len(public_inputs[0])
-    summed = [r_sum]
-    for i in range(num_inputs):
-        acc = public_inputs[0][i]
-        for j in range(1, n):
-            acc = acc + public_inputs[j][i] * r_powers[j]
-        summed.append(acc)
-    agg_inputs = msm(vk.gamma_abc_g1[:num_inputs + 1], summed).normalize()
+    if prepared_inputs is not None:
+        # each prepared_j already includes gamma_abc[0]; folding with the
+        # r-powers therefore includes gamma_abc[0]*r_sum automatically
+        agg_inputs = msm(prepared_inputs, r_powers).normalize()
+    else:
+        # aggregate public inputs: gamma_abc[0]*r_sum + sum_j
+        # gamma_abc[1+i] * (sum_j r^j * input_j_i)
+        num_inputs = len(public_inputs[0])
+        summed = [r_sum]
+        for i in range(num_inputs):
+            acc = public_inputs[0][i]
+            for j in range(1, n):
+                acc = acc + public_inputs[j][i] * r_powers[j]
+            summed.append(acc)
+        agg_inputs = msm(vk.gamma_abc_g1[:num_inputs + 1],
+                         summed).normalize()
 
     source1 = [(vk.alpha_g1 * int(r_sum)).normalize(), agg_inputs,
                proof.z_c]

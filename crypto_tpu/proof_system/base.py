@@ -94,6 +94,14 @@ class ProofSpec:
     statements: list = dc_field(default_factory=list)
     meta_statements: MetaStatements = dc_field(default_factory=MetaStatements)
     context: Optional[bytes] = None
+    # SnarkPack aggregation (reference `proof_spec.rs` aggregate_groth16/
+    # aggregate_legogroth16/snark_aggregation_srs): each entry is a list of
+    # statement indices whose SNARK proofs are folded into ONE aggregate;
+    # the per-statement proofs then omit their SNARK (smaller proof,
+    # cheaper verification).
+    aggregate_groth16: Optional[list] = None       # SAVER statements
+    aggregate_legogroth16: Optional[list] = None   # bound-check / R1CS
+    snark_aggregation_srs: object = None           # ProverSRS or VerifierSRS
 
     def add_statement(self, stmt: Statement) -> int:
         self.statements.append(stmt)
@@ -101,6 +109,14 @@ class ProofSpec:
 
     def add_witness_equality(self, refs) -> None:
         self.meta_statements.add_witness_equality(refs)
+
+    def aggregated_statement_indices(self) -> set:
+        out = set()
+        for group in (self.aggregate_groth16 or []):
+            out.update(group)
+        for group in (self.aggregate_legogroth16 or []):
+            out.update(group)
+        return out
 
     def validate(self) -> None:
         n = len(self.statements)
@@ -110,3 +126,15 @@ class ProofSpec:
             for r in eq.refs:
                 if r.statement >= n:
                     raise ProofSystemError("statement index out of bounds")
+        seen = set()
+        for group in (self.aggregate_groth16 or []) + \
+                (self.aggregate_legogroth16 or []):
+            for i in group:
+                if i in seen:
+                    raise ProofSystemError(
+                        f"statement {i} in multiple aggregate groups")
+                seen.add(i)
+                if i >= n:
+                    raise ProofSystemError("aggregate index out of bounds")
+        if seen and self.snark_aggregation_srs is None:
+            raise ProofSystemError("snark aggregation SRS not provided")

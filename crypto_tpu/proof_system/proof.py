@@ -68,6 +68,9 @@ class ProverConfig:
 class Proof:
     statement_proofs: list
     nonce: Optional[bytes] = None
+    # [(statement indices, AggregateProof)] when the spec aggregates SNARKs
+    aggregated_groth16: Optional[list] = None
+    aggregated_legogroth16: Optional[list] = None
 
     # ------------------------------------------------------------------
 
@@ -116,9 +119,46 @@ class Proof:
         challenge = transcript.challenge_scalar(
             F, COMPOSITE_PROOF_CHALLENGE_LABEL)
 
+        statement_proofs = [sp.gen_proof(challenge) for sp in subprotocols]
+
+        # SnarkPack aggregation (`prover.rs:1040-1105`): fold the SNARKs of
+        # the designated statements into one aggregate per group, stripping
+        # them from the per-statement proofs.
+        aggregated_groth16 = None
+        aggregated_legogroth16 = None
+        if proof_spec.aggregated_statement_indices():
+            from ..legogroth16 import aggregation as aggr
+            srs = proof_spec.snark_aggregation_srs
+
+            def _aggregate(groups, with_d):
+                out = []
+                for group in groups:
+                    snarks = []
+                    for i in group:
+                        stmt = proof_spec.statements[i]
+                        snark_proof, stripped = stmt.strip_snark_proof(
+                            statement_proofs[i])
+                        statement_proofs[i] = stripped
+                        if not with_d:
+                            snark_proof = type(snark_proof)(
+                                a=snark_proof.a, b=snark_proof.b,
+                                c=snark_proof.c, d=None)
+                        snarks.append(snark_proof)
+                    out.append((list(group), aggr.aggregate_proofs(
+                        srs, transcript, snarks)))
+                return out
+
+            if proof_spec.aggregate_groth16:
+                aggregated_groth16 = _aggregate(
+                    proof_spec.aggregate_groth16, with_d=False)
+            if proof_spec.aggregate_legogroth16:
+                aggregated_legogroth16 = _aggregate(
+                    proof_spec.aggregate_legogroth16, with_d=True)
+
         return cls(
-            statement_proofs=[sp.gen_proof(challenge) for sp in subprotocols],
-            nonce=nonce)
+            statement_proofs=statement_proofs, nonce=nonce,
+            aggregated_groth16=aggregated_groth16,
+            aggregated_legogroth16=aggregated_legogroth16)
 
     # ------------------------------------------------------------------
 
@@ -176,9 +216,60 @@ class Proof:
                     raise ProofSystemError(
                         f"witness equality violated at {ref}")
 
-        for stmt, sp in zip(proof_spec.statements, self.statement_proofs):
-            stmt.verify_proof(sp, challenge, pairing_checker)
+        aggregated = proof_spec.aggregated_statement_indices()
+        for idx, (stmt, sp) in enumerate(zip(proof_spec.statements,
+                                             self.statement_proofs)):
+            if idx in aggregated:
+                stmt.verify_proof_when_aggregating(sp, challenge,
+                                                   pairing_checker)
+            else:
+                stmt.verify_proof(sp, challenge, pairing_checker)
+
+        if aggregated:
+            self._verify_aggregates(rng, proof_spec, transcript,
+                                    pairing_checker)
 
         if pairing_checker is not None and not pairing_checker.verify():
             raise ProofSystemError("accumulated pairing check failed")
         return True
+
+    def _verify_aggregates(self, rng, proof_spec, transcript,
+                           pairing_checker):
+        """`verifier.rs:1749-1830`: check each SnarkPack aggregate against
+        the per-statement public data (SAVER ciphertexts / bound-check
+        public inputs)."""
+        from ..legogroth16 import aggregation as aggr
+        srs = proof_spec.snark_aggregation_srs
+
+        def _check_groups(spec_groups, proof_groups, lego):
+            spec_groups = spec_groups or []
+            proof_groups = proof_groups or []
+            if len(spec_groups) != len(proof_groups):
+                raise ProofSystemError("aggregate group count mismatch")
+            for spec_g, (proof_g, ag_proof) in zip(spec_groups,
+                                                   proof_groups):
+                if list(spec_g) != list(proof_g):
+                    raise ProofSystemError(
+                        "aggregate statement indices mismatch")
+                stmts = [proof_spec.statements[i] for i in spec_g]
+                sps = [self.statement_proofs[i] for i in spec_g]
+                if lego:
+                    vk = stmts[0].snark_pk.vk
+                    inputs = [st.aggregate_public_inputs(sp)
+                              for st, sp in zip(stmts, sps)]
+                    ok = aggr.verify_aggregate_proof(
+                        srs, vk, inputs, ag_proof, rng, transcript)
+                else:
+                    vk = stmts[0].snark_pk.pk.vk
+                    prepared = [st.prepared_aggregate_input(sp)
+                                for st, sp in zip(stmts, sps)]
+                    ok = aggr.verify_aggregate_proof(
+                        srs, vk, [[] for _ in prepared], ag_proof, rng,
+                        transcript, prepared_inputs=prepared)
+                if not ok:
+                    raise ProofSystemError("SNARK aggregate check failed")
+
+        _check_groups(proof_spec.aggregate_groth16,
+                      self.aggregated_groth16, lego=False)
+        _check_groups(proof_spec.aggregate_legogroth16,
+                      self.aggregated_legogroth16, lego=True)

@@ -75,7 +75,7 @@ class BoundCheckLegoGroth16(Statement):
             commitment_randomness = v
 
             def challenge_contribution(self, writer):
-                stmt._contribution(proof, sc.t, writer)
+                stmt._contribution(proof.d, sc.t, writer)
 
             def gen_proof(self, challenge):
                 return BoundCheckProof(snark_proof=proof,
@@ -83,27 +83,52 @@ class BoundCheckLegoGroth16(Statement):
 
         return SP()
 
-    def _contribution(self, proof, t, writer: ByteWriter):
+    def _contribution(self, d, t, writer: ByteWriter):
         vk = self.snark_pk.vk
         for p in vk.get_commitment_key_for_witnesses():
             writer.point(p)
-        writer.point(proof.d)
+        writer.point(d)
         writer.point(t)
         writer.field(F(self.min_val))
         writer.field(F(self.max_val))
 
+    @staticmethod
+    def _d_of(proof):
+        return proof.commitment if isinstance(proof, BoundCheckProofAggr) \
+            else proof.snark_proof.d
+
     def proof_challenge_contribution(self, proof, writer):
-        self._contribution(proof.snark_proof, proof.sc.t, writer)
+        self._contribution(self._d_of(proof), proof.sc.t, writer)
 
     def verify_proof(self, proof, challenge, pairing_checker=None):
+        if isinstance(proof, BoundCheckProofAggr):
+            raise ProofSystemError(
+                "aggregated bound-check proof in non-aggregating spec")
         vk = self.snark_pk.vk
         pvk = snark.PreparedVerifyingKey.from_vk(vk)
         if not snark.verify_proof(pvk, proof.snark_proof,
                                   [F(self.min_val), F(self.max_val)]):
             raise ProofSystemError("bound check SNARK failed")
-        ck = vk.get_commitment_key_for_witnesses()
-        if not proof.sc.verify(proof.snark_proof.d, ck[0], ck[1], challenge):
+        self._verify_schnorr(proof, challenge)
+
+    def _verify_schnorr(self, proof, challenge):
+        ck = self.snark_pk.vk.get_commitment_key_for_witnesses()
+        if not proof.sc.verify(self._d_of(proof), ck[0], ck[1], challenge):
             raise ProofSystemError("bound check commitment PoK failed")
+
+    # -- SnarkPack aggregation hooks (`statement_proof.rs`
+    #    BoundCheckLegoGroth16WithAggregation) --
+
+    def strip_snark_proof(self, proof):
+        return proof.snark_proof, BoundCheckProofAggr(
+            commitment=proof.snark_proof.d, sc=proof.sc)
+
+    def verify_proof_when_aggregating(self, proof, challenge,
+                                      pairing_checker=None):
+        self._verify_schnorr(proof, challenge)
+
+    def aggregate_public_inputs(self, proof):
+        return [F(self.min_val), F(self.max_val)]
 
     def response_for_witness(self, proof, wit_idx):
         assert wit_idx == 0
@@ -113,6 +138,14 @@ class BoundCheckLegoGroth16(Statement):
 @dataclass
 class BoundCheckProof:
     snark_proof: snark.Proof
+    sc: PokPedersenCommitment
+
+
+@dataclass
+class BoundCheckProofAggr:
+    """Statement proof when the SNARK is folded into a SnarkPack aggregate:
+    keeps only D (the witness commitment) and the Schnorr."""
+    commitment: Point
     sc: PokPedersenCommitment
 
 
@@ -203,6 +236,9 @@ class SaverStatement(Statement):
                            proof.sc_J.t, writer)
 
     def verify_proof(self, proof, challenge, pairing_checker=None):
+        if isinstance(proof, SaverProofAggr):
+            raise ProofSystemError(
+                "aggregated SAVER proof in non-aggregating spec")
         ct = proof.ciphertext
         if not saver_core.verify_ciphertext_commitment(
                 ct, self.ek, self.enc_gens):
@@ -210,6 +246,35 @@ class SaverStatement(Statement):
         pvk = snark.PreparedVerifyingKey.from_vk(self.snark_pk.pk.vk)
         if not saver_core.verify_ciphertext_proof(ct, proof.snark_proof, pvk):
             raise ProofSystemError("SAVER SNARK failed")
+        self._verify_schnorr(proof, challenge)
+
+    def verify_proof_when_aggregating(self, proof, challenge,
+                                      pairing_checker=None):
+        """`verify_proof_contribution_..._when_aggregating_snark`: the
+        Groth16 check moves into the aggregate; ciphertext commitment and
+        Schnorr legs still verify per statement."""
+        if not saver_core.verify_ciphertext_commitment(
+                proof.ciphertext, self.ek, self.enc_gens):
+            raise ProofSystemError("SAVER ciphertext commitment failed")
+        self._verify_schnorr(proof, challenge)
+
+    def strip_snark_proof(self, proof):
+        return proof.snark_proof, SaverProofAggr(
+            ciphertext=proof.ciphertext, J=proof.J, t_psi=proof.t_psi,
+            resp_psi=proof.resp_psi, sc_J=proof.sc_J)
+
+    def prepared_aggregate_input(self, proof):
+        """The Groth16 'prepared input' point for this SAVER proof:
+        d = c_0 + sum(c_i) + gamma_abc[0] (`saver_groth16.rs`
+        verify_aggregate_proof)."""
+        vk = self.snark_pk.pk.vk
+        d = proof.ciphertext.X_r
+        for c in proof.ciphertext.enc_chunks:
+            d = d + c
+        return (d + vk.gamma_abc_g1[0]).normalize()
+
+    def _verify_schnorr(self, proof, challenge):
+        ct = proof.ciphertext
         ck = self.ek.commitment_key()
         if not proof.resp_psi.is_valid(ck, ct.commitment, proof.t_psi,
                                        challenge):
@@ -234,6 +299,17 @@ class SaverStatement(Statement):
 class SaverProof:
     ciphertext: saver_core.Ciphertext
     snark_proof: snark.Proof
+    J: Point
+    t_psi: Point
+    resp_psi: SchnorrResponse
+    sc_J: PokPedersenCommitment
+
+
+@dataclass
+class SaverProofAggr:
+    """SAVER statement proof when the Groth16 proof lives in a SnarkPack
+    aggregate (`statement_proof.rs` SaverProofWhenAggregatingSnarks)."""
+    ciphertext: saver_core.Ciphertext
     J: Point
     t_psi: Point
     resp_psi: SchnorrResponse

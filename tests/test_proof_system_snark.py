@@ -168,3 +168,68 @@ def test_prover_config_proof_reuse(cred, bound_srs, saver_setup):
 
     # chaining: config2 recorded the new randomness for a third proof
     assert 1 in cfg2.commitment_randomness and 2 in cfg2.commitment_randomness
+
+
+def test_snarkpack_aggregation_in_composite_proof(cred, bound_srs,
+                                                  saver_setup):
+    """ProofSpec-level SnarkPack aggregation (`prover.rs:1040-1105`,
+    `verifier.rs:1749-1830`): 2 SAVER Groth16 proofs and 2 bound-check
+    LegoGroth16 proofs each fold into one aggregate; per-statement proofs
+    lose their SNARKs."""
+    from crypto_tpu.legogroth16.aggregation import GenericSRS
+    from crypto_tpu.proof_system.statements_snark import (BoundCheckProofAggr,
+                                                          SaverProofAggr)
+    sig_params, issuer, messages, sig = cred
+    cb, gens, spk, g_i, sk, ek, dk = saver_setup
+    G = b.G1.rand(RNG).normalize()
+    H = b.G1.rand(RNG).normalize()
+    gsrs = GenericSRS.setup(RNG, 2)
+    prover_srs, verifier_srs = gsrs.specialize(2)
+
+    def build_spec(srs):
+        spec = ProofSpec()
+        s0 = spec.add_statement(PoKBBSSignatureG1(
+            params=sig_params, public_key=issuer.public_key,
+            revealed_messages={}))
+        s1 = spec.add_statement(BoundCheckLegoGroth16(
+            min_val=18, max_val=100, snark_pk=bound_srs))
+        s2 = spec.add_statement(BoundCheckLegoGroth16(
+            min_val=0, max_val=60, snark_pk=bound_srs))
+        s3 = spec.add_statement(SaverStatement(
+            chunk_bit_size=cb, enc_gens=gens, ek=ek, snark_pk=spk,
+            comm_G=G, comm_H=H))
+        s4 = spec.add_statement(SaverStatement(
+            chunk_bit_size=cb, enc_gens=gens, ek=ek, snark_pk=spk,
+            comm_G=G, comm_H=H))
+        spec.add_witness_equality([(s0, 0), (s1, 0), (s2, 0)])
+        spec.add_witness_equality([(s0, 1), (s3, 0)])
+        spec.add_witness_equality([(s0, 2), (s4, 0)])
+        spec.aggregate_legogroth16 = [[s1, s2]]
+        spec.aggregate_groth16 = [[s3, s4]]
+        spec.snark_aggregation_srs = srs
+        return spec
+
+    wits = [BBSWitness(signature=sig, messages=messages),
+            messages[0], messages[0], messages[1], messages[2]]
+    proof = Proof.new(RNG, build_spec(prover_srs), wits, nonce=b"agg")
+
+    # per-statement proofs are stripped of their SNARKs
+    assert isinstance(proof.statement_proofs[1], BoundCheckProofAggr)
+    assert isinstance(proof.statement_proofs[3], SaverProofAggr)
+    assert proof.aggregated_groth16 and proof.aggregated_legogroth16
+
+    assert proof.verify(RNG, build_spec(verifier_srs), nonce=b"agg")
+
+    # auditor still decrypts both aggregated ciphertexts
+    for idx, msg in ((3, messages[1]), (4, messages[2])):
+        dec, _ = saver_core.decrypt(
+            proof.statement_proofs[idx].ciphertext, sk, dk, g_i, cb)
+        assert dec == msg
+
+    # tampering with the aggregate fails verification
+    import copy
+    bad = copy.deepcopy(proof)
+    grp, ag = bad.aggregated_legogroth16[0]
+    ag.z_c = (ag.z_c + b.G1.generator()).normalize()
+    with pytest.raises(ProofSystemError):
+        bad.verify(RNG, build_spec(verifier_srs), nonce=b"agg")
