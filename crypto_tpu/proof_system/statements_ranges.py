@@ -231,7 +231,7 @@ class R1CSCircomStatement(Statement):
 
         class SP:
             def challenge_contribution(self, writer):
-                stmt._contribution(proof, sc.t, writer)
+                stmt._contribution_d(proof.d, sc.t, writer)
 
             def gen_proof(self, challenge):
                 return R1CSCircomProof(snark_proof=proof, t=sc.t,
@@ -239,26 +239,51 @@ class R1CSCircomStatement(Statement):
 
         return SP()
 
-    def _contribution(self, proof, t, writer: ByteWriter):
+    def _contribution_d(self, d, t, writer: ByteWriter):
         for p in self.snark_pk.vk.get_commitment_key_for_witnesses():
             writer.point(p)
-        writer.point(proof.d)
+        writer.point(d)
         writer.point(t)
         for x in self.public_inputs:
             writer.field(x)
 
+    @staticmethod
+    def _d_of(proof):
+        return proof.commitment if isinstance(proof, R1CSCircomProofAggr) \
+            else proof.snark_proof.d
+
     def proof_challenge_contribution(self, proof, writer):
-        self._contribution(proof.snark_proof, proof.t, writer)
+        self._contribution_d(self._d_of(proof), proof.t, writer)
 
     def verify_proof(self, proof, challenge, pairing_checker=None):
+        if isinstance(proof, R1CSCircomProofAggr):
+            raise ProofSystemError(
+                "aggregated R1CS proof in non-aggregating spec")
         pvk = snark.PreparedVerifyingKey.from_vk(self.snark_pk.vk)
         if not snark.verify_proof(pvk, proof.snark_proof,
                                   self.public_inputs):
             raise ProofSystemError("R1CS SNARK verification failed")
+        self._verify_schnorr(proof, challenge)
+
+    def _verify_schnorr(self, proof, challenge):
         ck = self.snark_pk.vk.get_commitment_key_for_witnesses()
-        if not proof.sc.is_valid(ck, proof.snark_proof.d, proof.t,
+        if not proof.sc.is_valid(ck, self._d_of(proof), proof.t,
                                  challenge):
             raise ProofSystemError("R1CS commitment PoK failed")
+
+    # -- SnarkPack aggregation hooks (`statement_proof.rs`
+    #    R1CSLegoGroth16WithAggregation) --
+
+    def strip_snark_proof(self, proof):
+        return proof.snark_proof, R1CSCircomProofAggr(
+            commitment=proof.snark_proof.d, t=proof.t, sc=proof.sc)
+
+    def verify_proof_when_aggregating(self, proof, challenge,
+                                      pairing_checker=None):
+        self._verify_schnorr(proof, challenge)
+
+    def aggregate_public_inputs(self, proof):
+        return [F(int(x)) for x in self.public_inputs]
 
     def response_for_witness(self, proof, wit_idx):
         return proof.sc.get_response(wit_idx)
@@ -267,6 +292,15 @@ class R1CSCircomStatement(Statement):
 @dataclass
 class R1CSCircomProof:
     snark_proof: snark.Proof
+    t: Point
+    sc: SchnorrResponse
+
+
+@dataclass
+class R1CSCircomProofAggr:
+    """R1CS statement proof when the LegoGroth16 proof is folded into a
+    SnarkPack aggregate."""
+    commitment: Point
     t: Point
     sc: SchnorrResponse
 

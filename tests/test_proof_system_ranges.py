@@ -173,3 +173,43 @@ def test_bbs_message_verifiably_encrypted():
     dec = compressed.decrypt(dec_sk, proof.statement_proofs[s2].commitment,
                              ck[:2])
     assert dec[0] == messages[0]
+
+
+@pytest.mark.skipif(not os.path.isdir(VECTORS),
+                    reason="reference fixtures unavailable")
+def test_r1cs_snarkpack_aggregation():
+    """Two circom R1CS statements folded into one SnarkPack aggregate."""
+    from crypto_tpu.legogroth16 import snark
+    from crypto_tpu.legogroth16.circom import circom_circuit, parse_r1cs
+    from crypto_tpu.legogroth16.aggregation import GenericSRS
+    from crypto_tpu.proof_system.statements_ranges import R1CSCircomProofAggr
+
+    r1cs = parse_r1cs(os.path.join(VECTORS, "multiply2.r1cs"))
+    snark_pk = snark.generate_random_parameters(circom_circuit(r1cs), 1, RNG)
+    gsrs = GenericSRS.setup(RNG, 2)
+    psrs, vsrs = gsrs.specialize(2)
+
+    pairs = [(F(3), F(5)), (F(7), F(11))]
+
+    def build(srs):
+        spec = ProofSpec()
+        idx = []
+        for a_val, b_val in pairs:
+            idx.append(spec.add_statement(R1CSCircomStatement(
+                r1cs=r1cs, snark_pk=snark_pk,
+                public_inputs=[a_val * b_val])))
+        spec.aggregate_legogroth16 = [idx]
+        spec.snark_aggregation_srs = srs
+        return spec
+
+    wits = [[F(1), a * bb, a, bb] for a, bb in pairs]
+    proof = Proof.new(RNG, build(psrs), wits, nonce=b"r1cs-agg")
+    assert all(isinstance(p, R1CSCircomProofAggr)
+               for p in proof.statement_proofs)
+    assert proof.verify(RNG, build(vsrs), nonce=b"r1cs-agg")
+
+    # wrong public input fails
+    bad_spec = build(vsrs)
+    bad_spec.statements[0].public_inputs = [F(999)]
+    with pytest.raises(ProofSystemError):
+        proof.verify(RNG, bad_spec, nonce=b"r1cs-agg")
