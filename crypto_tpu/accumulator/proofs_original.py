@@ -183,3 +183,139 @@ class MembershipProofOriginal:
 
     def response_for_element(self) -> Fp:
         return self.s_y
+
+
+# ---------------------------------------------------------------------------
+# Original non-membership proof (reference `proofs.rs:1100-1560`): the
+# membership structure over the relation C(y+alpha) = V - d*P plus a
+# commitment E_d = d*P + tau*K with proofs of knowledge of (d, tau) and of
+# d != 0 via E_d_inv = (1/d)*P + pi*K and the product relation
+# d*E_d_inv = P + (d*pi)*K.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NonMembershipProvingKey:
+    X: Point
+    Y: Point
+    Z: Point
+    K: Point
+
+    @classmethod
+    def new(cls, label: bytes, digest=blake2b512):
+        mk = lambda tag: group_elem_from_try_and_incr(
+            bls.G1, concat_slices(label, tag), digest).normalize()
+        return cls(X=mk(b" : X"), Y=mk(b" : Y"), Z=mk(b" : Z"),
+                   K=mk(b" : K"))
+
+    def membership_key(self) -> MembershipProvingKey:
+        return MembershipProvingKey(X=self.X, Y=self.Y, Z=self.Z)
+
+
+@dataclass
+class NonMembershipProofProtocol:
+    mem: MembershipProofProtocol
+    E_d: Point
+    E_d_inv: Point
+    R_A: Point
+    R_B: Point
+    _nm_wits: dict
+
+    @classmethod
+    def init(cls, rng, element: Fp, element_blinding, witness,
+             accumulator_value: Point, pk: AccumPublicKey,
+             params: AccumSetupParams, prk: NonMembershipProvingKey):
+        d = witness.d
+        tau, pi = F.rand(rng), F.rand(rng)
+        E_d = (params.P * int(d) + prk.K * int(tau)).normalize()
+        E_d_inv = (params.P * int(d.inverse())
+                   + prk.K * int(pi)).normalize()
+        r_u, r_v, r_w = F.rand(rng), F.rand(rng), F.rand(rng)
+        R_A = (params.P * int(r_u) + prk.K * int(r_v)).normalize()
+        R_B = (E_d_inv * int(r_u) + prk.K * int(r_w)).normalize()
+
+        from .core import MembershipWitness as _MW
+        mem = MembershipProofProtocol.init(
+            rng, element, element_blinding, _MW(C=witness.C),
+            accumulator_value, pk, params, prk.membership_key())
+        # fold e(-r_v*K, P_tilde) into R_E (`proofs.rs:1141-1150`)
+        extra = bls.pairing((prk.K * int(-r_v)).normalize(), params.P_tilde)
+        mem.R_E = mem.R_E * extra
+        return cls(mem=mem, E_d=E_d, E_d_inv=E_d_inv, R_A=R_A, R_B=R_B,
+                   _nm_wits=dict(d=d, tau=tau, pi=pi, r_u=r_u, r_v=r_v,
+                                 r_w=r_w))
+
+    def challenge_contribution(self, accumulator_value, pk, params, prk,
+                               writer: ByteWriter):
+        self.mem.challenge_contribution(accumulator_value, pk, params,
+                                        prk.membership_key(), writer)
+        for pt in (self.E_d, self.E_d_inv, self.R_A, self.R_B, prk.K):
+            writer.point(pt)
+
+    def gen_proof(self, challenge: Fp) -> "NonMembershipProofOriginal":
+        w = self._nm_wits
+        cd = challenge * w["d"]
+        return NonMembershipProofOriginal(
+            mem=self.mem.gen_proof(challenge), E_d=self.E_d,
+            E_d_inv=self.E_d_inv, R_A=self.R_A, R_B=self.R_B,
+            s_u=w["r_u"] + cd,
+            s_v=w["r_v"] + challenge * w["tau"],
+            s_w=w["r_w"] - cd * w["pi"])
+
+
+@dataclass
+class NonMembershipProofOriginal:
+    mem: MembershipProofOriginal
+    E_d: Point
+    E_d_inv: Point
+    R_A: Point
+    R_B: Point
+    s_u: Fp
+    s_v: Fp
+    s_w: Fp
+
+    def challenge_contribution(self, accumulator_value, pk, params, prk,
+                               writer: ByteWriter):
+        self.mem.challenge_contribution(accumulator_value, pk, params,
+                                        prk.membership_key(), writer)
+        for pt in (self.E_d, self.E_d_inv, self.R_A, self.R_B, prk.K):
+            writer.point(pt)
+
+    def verify(self, accumulator_value: Point, challenge: Fp,
+               pk: AccumPublicKey, params: AccumSetupParams,
+               prk: NonMembershipProvingKey) -> bool:
+        c = challenge
+        m = self.mem
+        # E_d opening: R_A == s_u*P + s_v*K - c*E_d
+        if (params.P * int(self.s_u) + prk.K * int(self.s_v)
+                - self.E_d * int(c)) != self.R_A:
+            return False
+        # d != 0: R_B == s_w*K + s_u*E_d_inv - c*P
+        if (prk.K * int(self.s_w) + self.E_d_inv * int(self.s_u)
+                - params.P * int(c)) != self.R_B:
+            return False
+        # membership-style G1 Schnorr re-derivations
+        if (prk.X * int(m.s_sigma) - m.T_sigma * int(c)) != m.R_sigma:
+            return False
+        if (prk.Y * int(m.s_rho) - m.T_rho * int(c)) != m.R_rho:
+            return False
+        if (m.T_sigma * int(m.s_y) - prk.X * int(m.s_delta_sigma)) \
+                != m.R_delta_sigma:
+            return False
+        if (m.T_rho * int(m.s_y) - prk.Y * int(m.s_delta_rho)) \
+                != m.R_delta_rho:
+            return False
+        # pairing relation with the extra c*E_d - s_v*K term
+        # (`proofs.rs:964-980`)
+        p_part = (m.E_C * int(m.s_y)
+                  + prk.Z * int(-m.s_delta_sigma - m.s_delta_rho)
+                  - accumulator_value * int(c)
+                  + self.E_d * int(c)
+                  + prk.K * int(-self.s_v)).normalize()
+        q_part = (prk.Z * int(-m.s_sigma - m.s_rho)
+                  + m.E_C * int(c)).normalize()
+        lhs = bls.multi_pairing([(p_part, params.P_tilde),
+                                 (q_part, pk.Q_tilde)])
+        return lhs == m.R_E
+
+    def response_for_element(self) -> Fp:
+        return self.mem.s_y

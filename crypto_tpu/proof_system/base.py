@@ -54,6 +54,32 @@ class Statement(ABC):
 
 
 @dataclass(frozen=True)
+class SetupParamsRef:
+    """Reference to a shared setup-params entry on the ProofSpec
+    (reference `setup_params.rs`: large parameters — signature params,
+    keys, SNARK SRSs — are stored once and referenced by index from many
+    statements instead of being duplicated)."""
+    index: int
+
+
+def resolve_setup_params(stmt, setup_params: list):
+    """Return `stmt` with every SetupParamsRef field replaced by the
+    referenced entry (a new instance; the spec stays untouched)."""
+    import dataclasses
+    if not dataclasses.is_dataclass(stmt):
+        return stmt
+    changes = {}
+    for f in dataclasses.fields(stmt):
+        v = getattr(stmt, f.name)
+        if isinstance(v, SetupParamsRef):
+            if v.index >= len(setup_params):
+                raise ProofSystemError(
+                    f"setup params index {v.index} out of bounds")
+            changes[f.name] = setup_params[v.index]
+    return dataclasses.replace(stmt, **changes) if changes else stmt
+
+
+@dataclass(frozen=True)
 class WitnessRef:
     statement: int
     witness: int
@@ -102,10 +128,19 @@ class ProofSpec:
     aggregate_groth16: Optional[list] = None       # SAVER statements
     aggregate_legogroth16: Optional[list] = None   # bound-check / R1CS
     snark_aggregation_srs: object = None           # ProverSRS or VerifierSRS
+    setup_params: list = dc_field(default_factory=list)
 
     def add_statement(self, stmt: Statement) -> int:
         self.statements.append(stmt)
         return len(self.statements) - 1
+
+    def add_setup_params(self, params) -> SetupParamsRef:
+        self.setup_params.append(params)
+        return SetupParamsRef(len(self.setup_params) - 1)
+
+    def resolved_statements(self) -> list:
+        return [resolve_setup_params(s, self.setup_params)
+                for s in self.statements]
 
     def add_witness_equality(self, refs) -> None:
         self.meta_statements.add_witness_equality(refs)

@@ -97,8 +97,9 @@ class Proof:
         if proof_spec.context is not None:
             transcript.append_message(CONTEXT_LABEL, proof_spec.context)
 
+        resolved = proof_spec.resolved_statements()
         subprotocols = []
-        for idx, (stmt, wit) in enumerate(zip(proof_spec.statements, witnesses)):
+        for idx, (stmt, wit) in enumerate(zip(resolved, witnesses)):
             stmt_blindings = {
                 ref.witness: bl for ref, bl in blindings_by_ref.items()
                 if ref.statement == idx
@@ -135,7 +136,7 @@ class Proof:
                 for group in groups:
                     snarks = []
                     for i in group:
-                        stmt = proof_spec.statements[i]
+                        stmt = resolved[i]
                         snark_proof, stripped = stmt.strip_snark_proof(
                             statement_proofs[i])
                         statement_proofs[i] = stripped
@@ -195,7 +196,8 @@ class Proof:
         if proof_spec.context is not None:
             transcript.append_message(CONTEXT_LABEL, proof_spec.context)
 
-        for stmt, sp in zip(proof_spec.statements, self.statement_proofs):
+        resolved = proof_spec.resolved_statements()
+        for stmt, sp in zip(resolved, self.statement_proofs):
             w = ByteWriter()
             stmt.proof_challenge_contribution(sp, w)
             transcript.append_message(b"", w.bytes())
@@ -207,7 +209,7 @@ class Proof:
         for cls_refs in proof_spec.meta_statements.disjoint_witness_equalities():
             resp = None
             for ref in sorted(cls_refs, key=lambda r: (r.statement, r.witness)):
-                stmt = proof_spec.statements[ref.statement]
+                stmt = resolved[ref.statement]
                 r = stmt.response_for_witness(
                     self.statement_proofs[ref.statement], ref.witness)
                 if resp is None:
@@ -217,7 +219,7 @@ class Proof:
                         f"witness equality violated at {ref}")
 
         aggregated = proof_spec.aggregated_statement_indices()
-        for idx, (stmt, sp) in enumerate(zip(proof_spec.statements,
+        for idx, (stmt, sp) in enumerate(zip(resolved,
                                              self.statement_proofs)):
             if idx in aggregated:
                 stmt.verify_proof_when_aggregating(sp, challenge,
@@ -226,14 +228,14 @@ class Proof:
                 stmt.verify_proof(sp, challenge, pairing_checker)
 
         if aggregated:
-            self._verify_aggregates(rng, proof_spec, transcript,
+            self._verify_aggregates(rng, proof_spec, resolved, transcript,
                                     pairing_checker)
 
         if pairing_checker is not None and not pairing_checker.verify():
             raise ProofSystemError("accumulated pairing check failed")
         return True
 
-    def _verify_aggregates(self, rng, proof_spec, transcript,
+    def _verify_aggregates(self, rng, proof_spec, resolved, transcript,
                            pairing_checker):
         """`verifier.rs:1749-1830`: check each SnarkPack aggregate against
         the per-statement public data (SAVER ciphertexts / bound-check
@@ -251,7 +253,7 @@ class Proof:
                 if list(spec_g) != list(proof_g):
                     raise ProofSystemError(
                         "aggregate statement indices mismatch")
-                stmts = [proof_spec.statements[i] for i in spec_g]
+                stmts = [resolved[i] for i in spec_g]
                 sps = [self.statement_proofs[i] for i in spec_g]
                 if lego:
                     vk = stmts[0].snark_pk.vk

@@ -135,3 +135,46 @@ def test_kb_universal_accumulator_statements():
     ]
     proof = CompositeProof.new(RNG, spec, wits)
     assert proof.verify(RNG, spec)
+
+
+def test_setup_params_references():
+    """Shared setup params referenced by index (reference
+    `setup_params.rs`): two BBS+ statements share ONE params/key entry."""
+    from crypto_tpu.proof_system.base import ProofSpec, SetupParamsRef
+    from crypto_tpu.proof_system.proof import Proof
+    from crypto_tpu.proof_system.statements import (BBSWitness,
+                                                    PoKBBSSignatureG1)
+    from crypto_tpu.bbs_plus.setup import KeypairG2, SignatureParamsG1
+    from crypto_tpu.bbs_plus.signature import SignatureG1
+
+    rng = random.Random(77)
+    params = SignatureParamsG1.new(b"shared-params", 2)
+    kp = KeypairG2.generate(rng, params)
+    msgs1 = [F.rand(rng), F.rand(rng)]
+    msgs2 = [msgs1[0], F.rand(rng)]
+    sig1 = SignatureG1.new(rng, msgs1, kp.secret_key, params)
+    sig2 = SignatureG1.new(rng, msgs2, kp.secret_key, params)
+
+    spec = ProofSpec()
+    p_ref = spec.add_setup_params(params)
+    k_ref = spec.add_setup_params(kp.public_key)
+    assert isinstance(p_ref, SetupParamsRef)
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=p_ref, public_key=k_ref, revealed_messages={}))
+    s1 = spec.add_statement(PoKBBSSignatureG1(
+        params=p_ref, public_key=k_ref, revealed_messages={}))
+    spec.add_witness_equality([(s0, 0), (s1, 0)])
+    wits = [BBSWitness(signature=sig1, messages=msgs1),
+            BBSWitness(signature=sig2, messages=msgs2)]
+    proof = Proof.new(rng, spec, wits, nonce=b"sp")
+    assert proof.verify(rng, spec, nonce=b"sp")
+    # the spec itself still stores the references, not copies
+    assert spec.statements[0].params is p_ref
+
+    # out-of-bounds reference fails cleanly
+    spec2 = ProofSpec()
+    spec2.add_statement(PoKBBSSignatureG1(
+        params=SetupParamsRef(5), public_key=k_ref, revealed_messages={}))
+    from crypto_tpu.proof_system.base import ProofSystemError
+    with pytest.raises(ProofSystemError):
+        Proof.new(rng, spec2, [wits[0]], nonce=b"sp")
