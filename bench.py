@@ -41,35 +41,61 @@ def main() -> None:
 
     from crypto_tpu.curves import bls12_381 as bls
     from crypto_tpu.curves.jcurve import jcurve_for
-    from crypto_tpu.ops import msm as msm_ops
+    from crypto_tpu.ops.pippenger import msm_pippenger
 
     rng = np.random.default_rng(0)
     jc = jcurve_for(bls.G1)
-
-    # Generate n points on device: random multiples of G batched via repeated
-    # doubling of a packed base batch (cheap, avoids host loop over 2^20).
-    base = bls.G1.generator()
-    k = 64
-    host_pts = []
-    acc = base
-    for i in range(k):
-        host_pts.append(acc)
-        acc = (acc + base.double()).normalize() if i % 2 else (acc.double()).normalize()
-    seed_pack = jc.pack_points(host_pts)
-    reps = n // k
     import jax.numpy as jnp
-    points = type(seed_pack)(jnp.tile(seed_pack.X, (reps, 1)),
-                             jnp.tile(seed_pack.Y, (reps, 1)),
-                             jnp.tile(seed_pack.Z, (reps, 1)))
+
+    # Generate n DISTINCT points on device as an outer sum A_i + B_j of two
+    # disjoint-scalar families (a_i = 2^40 + i, b_j = j * 2^41): the fused
+    # Pallas add builds all n in one batched call.  Distinctness matters:
+    # duplicate bases inside one bucket are the degenerate P+P case the fast
+    # formula punts on, and real MSM workloads (CRS bases, commitment keys)
+    # are distinct.
+    k = 64
+    m = n // k
+    base = bls.G1.generator()
+    A_host = [base.mul_raw((1 << 40) + i) for i in range(k)]
+    A = jc.pack_points([p.normalize() for p in A_host])
+    from crypto_tpu.ops.pallas.curve_kernels import make_add_fns
+    add_fn, _aadd, _dbl = make_add_fns(jc)
+    # B_j = j * (2^41) * G by doubling construction: B = {O}; for each bit:
+    # B <- B ∪ (B + step);  step = 2^(41+t) * G
+    B = jc.pack_points([bls.G1.infinity()])
+    step_pt = base.mul_raw(1 << 41)
+    t = 0
+    while B.X.shape[0] < m:
+        sp = jc.pack_points([step_pt.normalize()])
+        ln = B.X.shape[0]
+        stepb = type(B)(jnp.tile(sp.X, (ln, 1)), jnp.tile(sp.Y, (ln, 1)),
+                        jnp.tile(sp.Z, (ln, 1)))
+        shifted, _f = add_fn(B, stepb)
+        B = type(B)(jnp.concatenate([B.X, shifted.X]),
+                    jnp.concatenate([B.Y, shifted.Y]),
+                    jnp.concatenate([B.Z, shifted.Z]))
+        step_pt = step_pt.double()
+        t += 1
+    B = type(B)(B.X[:m], B.Y[:m], B.Z[:m])
+    Arep = type(A)(jnp.repeat(A.X, m, axis=0), jnp.repeat(A.Y, m, axis=0),
+                   jnp.repeat(A.Z, m, axis=0))
+    Brep = type(B)(jnp.tile(B.X, (k, 1)), jnp.tile(B.Y, (k, 1)),
+                   jnp.tile(B.Z, (k, 1)))
+    jac_points, _f = add_fn(Arep, Brep)
+    from crypto_tpu.ops.pallas.curve_kernels import make_normalize_fn
+    points = make_normalize_fn(jc)(jac_points)
     scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
     # widen scalars to full 255-bit range
     scalars = [(s * (s + 1) * 0x9E3779B97F4A7C15) % bls.R for s in scalars]
 
-    # warmup (compile)
-    msm_ops.msm_device(bls.G1, points, scalars)
+    # warmup (compile); host-scheduled Pippenger + fused Pallas point kernels
+    inf_mask = np.zeros(n, dtype=bool)
+    msm_pippenger(bls.G1, points, scalars, inf_mask=inf_mask,
+                  points_affine=True)
 
     t0 = time.time()
-    result = msm_ops.msm_device(bls.G1, points, scalars)
+    result = msm_pippenger(bls.G1, points, scalars, inf_mask=inf_mask,
+                  points_affine=True)
     dt = time.time() - t0
     del result
 

@@ -296,7 +296,28 @@ class JField:
         return self.add(a, a)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product: a·b·R^-1 mod p (3-multiplication REDC)."""
+        """Montgomery product: a·b·R^-1 mod p (3-multiplication REDC).
+
+        On TPU the product routes through the fused Pallas Montgomery-mul
+        kernel (`ops/pallas/field_kernels.py`) — ~19 ns/elem on v5e vs the
+        composed-XLA einsum form; on CPU (tests) the einsum form compiles
+        fast and runs everywhere.  Override with CRYPTO_TPU_MUL_BACKEND.
+        """
+        if self._use_pallas_mul():
+            from ..ops.pallas.field_kernels import mont_mul_batched
+            return mont_mul_batched(self, a, b)
+        return self.mul_einsum(a, b)
+
+    @staticmethod
+    def _use_pallas_mul() -> bool:
+        import os
+        mode = os.environ.get("CRYPTO_TPU_MUL_BACKEND")
+        if mode:
+            return mode == "pallas"
+        return jax.default_backend() == "tpu"
+
+    def mul_einsum(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Composed-XLA Montgomery product (reference path; all backends)."""
         L = self.L
         t = self._carry_norm(self._wide_cols(a, b), 2 * L)
         # m = (t mod R) * (-p^-1 mod R) mod R

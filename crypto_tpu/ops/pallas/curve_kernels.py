@@ -1,0 +1,488 @@
+"""Fused Pallas point-arithmetic kernels — the MSM/verifier hot path.
+
+Each kernel computes a complete short-Weierstrass group operation (Jacobian,
+a=0) over batches of BLS12-381-class field elements *entirely in VMEM*: the
+~11-16 Montgomery multiplications of a point add never round-trip to HBM,
+unlike the composed-XLA path (`curves/jcurve.py`) where every field op
+materializes (batch, L^2)-scale intermediates.
+
+Field-mul strategy (measured on TPU v5e, see benches/dev_kernel_bench*.py):
+the schoolbook column accumulation runs on the VPU as 26 iterations of
+roll-shifted broadcast-MACs with an 8/7-bit split of one operand (so partial
+sums stay in int32); Montgomery reduction uses the 3-mul REDC form with the
+constant (ninv, p) products as small exact-f32 Toeplitz matmuls on the MXU.
+~19 ns per Montgomery mul per element at block 2048 — within ~4x of the
+VPU-slot lower bound for 26x26 limb schoolbook (int32 mul = 4 VPU slots).
+
+Layout: transposed (L, B) — limb index in sublanes, batch in lanes; values
+are 15-bit limbs, Montgomery form (see `crypto_tpu.fields.jfield`).
+
+Degenerate pairs: the fast add formula cannot produce P+P; kernels emit a
+per-element flag (h==0 and r==0 and neither operand infinite) instead, and
+the caller redoes the computation on the total path if any flag fires
+(`ops/pippenger.py`).
+
+Reference parity anchor: arkworks group ops used throughout the reference,
+e.g. MSM at `legogroth16/src/prover.rs:286-300`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...fields.jfield import LIMB_BITS, LIMB_MASK
+from ...curves.jcurve import JCurve, JPoints
+from . import field_kernels as fk
+
+DEFAULT_BLOCK = 2048
+# the full-add kernel's live set + grid double-buffering exceeds the 16M
+# VMEM budget at block 2048; 1536 fits (measured on v5e)
+FULL_ADD_BLOCK = 1536
+
+
+# ---------------------------------------------------------------------------
+# transposed-layout field helpers (values, not refs; all shapes (rows, B))
+# ---------------------------------------------------------------------------
+
+def _shift_rows_down(x, k):
+    if k == 0:
+        return x
+    z = jnp.zeros((k,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([z, x[:-k]], axis=0)
+
+
+def _widemul_cols(a, b, L):
+    """Unnormalized product columns (2L, B) of two L-limb operands.
+
+    roll-b inner loop with an 8/7-bit split of `a` so each accumulator stays
+    exactly representable in int32 (26 products of <=2^23 / <=2^22)."""
+    B = a.shape[1]
+    b_ext = jnp.concatenate([b, jnp.zeros((L, B), jnp.int32)], axis=0)
+    a_lo = a & 0xFF
+    a_hi = a >> 8
+    acc_l = jnp.zeros((2 * L, B), jnp.int32)
+    acc_h = jnp.zeros((2 * L, B), jnp.int32)
+    for i in range(L):
+        rb = pltpu.roll(b_ext, i, axis=0)
+        acc_l = acc_l + rb * a_lo[i:i + 1, :]
+        acc_h = acc_h + rb * a_hi[i:i + 1, :]
+    return acc_l + ((acc_h & 0x7F) << 8) + _shift_rows_down(acc_h >> 7, 1)
+
+
+class FieldCtx:
+    """Per-curve constants + field ops in transposed layout, usable both
+    inside Pallas kernels (on loaded values) and when tracing kernels."""
+
+    def __init__(self, L: int, p_int: int, ninv_int: int):
+        self.L = L
+        tb = fk._const_tables(L, p_int, ninv_int)
+        self.names = ["ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
+        # numpy (not jnp) so lru-cached factories never capture tracers
+        self.tables = {n: np.asarray(tb[n]) for n in self.names}
+        self.shapes = {n: tb[n].shape for n in self.names}
+
+    # every op takes `c` = dict of loaded constant values
+    def mul(self, c, a, b):
+        L = self.L
+        t = fk._carry_ks_rows(_widemul_cols(a, b, L), 2 * L)
+        m_main, m_carry = fk._toeplitz_mul(t[:L], c["ninv_lo"], c["ninv_hi"])
+        m = fk._carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)
+        u_main, u_carry = fk._toeplitz_mul(m, c["p_lo"], c["p_hi"])
+        u = u_main + _shift_rows_down(u_carry, 1)
+        s = fk._carry_ks_rows(t + u, 2 * L + 1)
+        res = s[L:]
+        d, borrow = fk._sub_ks_rows(res, c["p_ext"])
+        return jnp.where(borrow > 0, res[:L], d[:L])
+
+    def square(self, c, a):
+        return self.mul(c, a, a)
+
+    def add(self, c, a, b):
+        L = self.L
+        s = fk._carry_ks_rows(a + b, L + 1)
+        d, borrow = fk._sub_ks_rows(s, c["p_ext"])
+        return jnp.where(borrow > 0, s[:L], d[:L])
+
+    def sub(self, c, a, b):
+        L = self.L
+        d, borrow = fk._sub_ks_rows(a, b)
+        dp = fk._carry_ks_rows(d + c["p_ext"][:L], L)
+        return jnp.where(borrow > 0, dp, d)
+
+    def dbl(self, c, a):
+        return self.add(c, a, a)
+
+    def neg(self, c, a):
+        d, _ = fk._sub_ks_rows(c["p_ext"][:self.L] * jnp.ones_like(a[:1]), a)
+        return jnp.where(self.is_zero(a), jnp.zeros_like(a), d)
+
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=0, keepdims=True)   # (1, B) bool
+
+    @staticmethod
+    def select(mask, a, b):
+        """mask (1,B) bool -> rows broadcast."""
+        return jnp.where(mask, a, b)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _plain_one_like(x):
+    """(L, B) tensor with row 0 = 1, rest 0 (any nonzero X/Y works for the
+    infinity encoding; only Z == 0 is semantically meaningful)."""
+    return jnp.concatenate(
+        [jnp.ones((1, x.shape[1]), x.dtype),
+         jnp.zeros((x.shape[0] - 1, x.shape[1]), x.dtype)], axis=0)
+
+
+def _full_add_body(F: FieldCtx, c, X1, Y1, Z1, X2, Y2, Z2):
+    """add-2007-bl (a=0); returns (X3, Y3, Z3, degenerate_flag (1,B) int32)."""
+    Z1Z1 = F.square(c, Z1)
+    Z2Z2 = F.square(c, Z2)
+    U1 = F.mul(c, X1, Z2Z2)
+    U2 = F.mul(c, X2, Z1Z1)
+    S1 = F.mul(c, F.mul(c, Y1, Z2), Z2Z2)
+    S2 = F.mul(c, F.mul(c, Y2, Z1), Z1Z1)
+    H = F.sub(c, U2, U1)
+    r = F.dbl(c, F.sub(c, S2, S1))
+    I = F.square(c, F.dbl(c, H))
+    J = F.mul(c, H, I)
+    V = F.mul(c, U1, I)
+    rsq = F.square(c, r)
+    X3 = F.sub(c, F.sub(c, rsq, J), F.dbl(c, V))
+    Y3 = F.sub(c, F.mul(c, r, F.sub(c, V, X3)),
+               F.dbl(c, F.mul(c, S1, J)))
+    Z3 = F.mul(c, F.sub(c, F.sub(c, F.square(c, F.add(c, Z1, Z2)), Z1Z1), Z2Z2), H)
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h0 = F.is_zero(H)
+    r0 = F.is_zero(r)
+    both = (~p_inf) & (~q_inf)
+    degenerate = h0 & r0 & both
+    make_inf = h0 & (~r0) & both
+    inf_xy = _plain_one_like(X3)
+    X3 = F.select(make_inf, inf_xy, X3)
+    Y3 = F.select(make_inf, inf_xy, Y3)
+    Z3 = F.select(make_inf, jnp.zeros_like(Z3), Z3)
+    X3 = F.select(p_inf, X2, X3)
+    Y3 = F.select(p_inf, Y2, Y3)
+    Z3 = F.select(p_inf, Z2, Z3)
+    sel_p = q_inf & (~p_inf)
+    X3 = F.select(sel_p, X1, X3)
+    Y3 = F.select(sel_p, Y1, Y3)
+    Z3 = F.select(sel_p, Z1, Z3)
+    return X3, Y3, Z3, degenerate.astype(jnp.int32)
+
+
+def _affine_add_body(F: FieldCtx, c, X1, Y1, X2, Y2, one_mont):
+    """mmadd-2007-bl: both inputs affine (Z=1, never infinity): 4M+2S.
+    Returns Jacobian (X3, Y3, Z3, flag)."""
+    H = F.sub(c, X2, X1)
+    HH = F.square(c, H)
+    I = F.dbl(c, F.dbl(c, HH))
+    J = F.mul(c, H, I)
+    r = F.dbl(c, F.sub(c, Y2, Y1))
+    V = F.mul(c, X1, I)
+    rsq = F.square(c, r)
+    X3 = F.sub(c, F.sub(c, rsq, J), F.dbl(c, V))
+    Y3 = F.sub(c, F.mul(c, r, F.sub(c, V, X3)),
+               F.dbl(c, F.mul(c, Y1, J)))
+    Z3 = F.dbl(c, H)
+    h0 = F.is_zero(H)
+    r0 = F.is_zero(r)
+    degenerate = h0 & r0
+    make_inf = h0 & (~r0)
+    inf_xy = _plain_one_like(X3)
+    X3 = F.select(make_inf, inf_xy, X3)
+    Y3 = F.select(make_inf, inf_xy, Y3)
+    Z3 = F.select(make_inf, jnp.zeros_like(Z3), Z3)
+    return X3, Y3, Z3, degenerate.astype(jnp.int32)
+
+
+def _double_body(F: FieldCtx, c, X1, Y1, Z1):
+    """dbl-2009-l (a=0): total (Y=0 or inf -> inf)."""
+    A = F.square(c, X1)
+    B = F.square(c, Y1)
+    C = F.square(c, B)
+    t = F.square(c, F.add(c, X1, B))
+    D = F.dbl(c, F.sub(c, F.sub(c, t, A), C))
+    E = F.add(c, F.dbl(c, A), A)
+    Fq_ = F.square(c, E)
+    X3 = F.sub(c, Fq_, F.dbl(c, D))
+    Y3 = F.sub(c, F.mul(c, E, F.sub(c, D, X3)),
+               F.dbl(c, F.dbl(c, F.dbl(c, C))))
+    Z3 = F.dbl(c, F.mul(c, Y1, Z1))
+    bad = F.is_zero(Y1) | F.is_zero(Z1)
+    inf_xy = _plain_one_like(X3)
+    X3 = F.select(bad, inf_xy, X3)
+    Y3 = F.select(bad, inf_xy, Y3)
+    Z3 = F.select(bad, jnp.zeros_like(Z3), Z3)
+    return X3, Y3, Z3
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _kernels_for(L: int, p_int: int, ninv_int: int, block_b: int):
+    F = FieldCtx(L, p_int, ninv_int)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+
+    full_block = min(block_b, FULL_ADD_BLOCK)
+
+    def io_spec(blk):
+        return pl.BlockSpec((L, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def flag_spec(blk):
+        return pl.BlockSpec((1, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def full_add_kernel(x1, y1, z1, x2, y2, z2, *rest):
+        cvals = dict(zip(F.names, (r[:] for r in rest[:5])))
+        ox, oy, oz, ofl = rest[5], rest[6], rest[7], rest[8]
+        X3, Y3, Z3, fl = _full_add_body(F, cvals, x1[:], y1[:], z1[:],
+                                        x2[:], y2[:], z2[:])
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+        ofl[:] = fl
+
+    def affine_add_kernel(x1, y1, x2, y2, *rest):
+        cvals = dict(zip(F.names, (r[:] for r in rest[:5])))
+        ox, oy, oz, ofl = rest[5], rest[6], rest[7], rest[8]
+        X3, Y3, Z3, fl = _affine_add_body(F, cvals, x1[:], y1[:], x2[:], y2[:],
+                                          None)
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+        ofl[:] = fl
+
+    def double_kernel(x1, y1, z1, *rest):
+        cvals = dict(zip(F.names, (r[:] for r in rest[:5])))
+        ox, oy, oz = rest[5], rest[6], rest[7]
+        X3, Y3, Z3 = _double_body(F, cvals, x1[:], y1[:], z1[:])
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+
+    def call_full_add(x1, y1, z1, x2, y2, z2):
+        B = x1.shape[1]
+        out = pl.pallas_call(
+            full_add_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),) * 3
+            + (jax.ShapeDtypeStruct((1, B), jnp.int32),),
+            grid=(B // full_block,),
+            in_specs=[io_spec(full_block)] * 6 + const_specs,
+            out_specs=(io_spec(full_block), io_spec(full_block),
+                       io_spec(full_block), flag_spec(full_block)),
+        )(x1, y1, z1, x2, y2, z2, *consts)
+        return out
+
+    def call_affine_add(x1, y1, x2, y2):
+        B = x1.shape[1]
+        out = pl.pallas_call(
+            affine_add_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),) * 3
+            + (jax.ShapeDtypeStruct((1, B), jnp.int32),),
+            grid=(B // block_b,),
+            in_specs=[io_spec(block_b)] * 4 + const_specs,
+            out_specs=(io_spec(block_b), io_spec(block_b), io_spec(block_b),
+                       flag_spec(block_b)),
+        )(x1, y1, x2, y2, *consts)
+        return out
+
+    def call_double(x1, y1, z1):
+        B = x1.shape[1]
+        out = pl.pallas_call(
+            double_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),) * 3,
+            grid=(B // block_b,),
+            in_specs=[io_spec(block_b)] * 3 + const_specs,
+            out_specs=(io_spec(block_b), io_spec(block_b), io_spec(block_b)),
+        )(x1, y1, z1, *consts)
+        return out
+
+    return call_full_add, call_affine_add, call_double
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call_for(L: int, p_int: int, ninv_int: int, block_b: int):
+    """Standalone batched Montgomery-mul pallas call: (L,B)x(L,B)->(L,B)."""
+    F = FieldCtx(L, p_int, ninv_int)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+
+    def kernel(a_ref, b_ref, *rest):
+        cvals = dict(zip(F.names, (r[:] for r in rest[:5])))
+        rest[5][:] = F.mul(cvals, a_ref[:], b_ref[:])
+
+    def call(a_t, b_t):
+        B = a_t.shape[1]
+        spec = pl.BlockSpec((L, block_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+            grid=(B // block_b,),
+            in_specs=[spec, spec] + const_specs,
+            out_specs=spec,
+        )(a_t, b_t, *consts)
+
+    return call
+
+
+def make_normalize_fn(jc: JCurve, block_b: int = DEFAULT_BLOCK):
+    """Batched Jacobian -> affine (Z in {0,1}) via Fermat inversion, with all
+    ~770 Montgomery muls running through one fixed-shape Pallas mul kernel
+    inside a lax.scan (one Mosaic compile; ~2.6 us/elem on v5e).
+
+    Infinity (Z=0) maps to (X', Y', 0) unchanged-as-infinity since 0^(p-2)=0.
+    """
+    F = jc.F
+    L = F.L
+    call_mul = _mul_call_for(L, F.p, F.field.Ninv_R, block_b)
+    bits = jnp.asarray(
+        np.array([int(c) for c in bin(F.p - 2)[2:]], dtype=np.int32))
+    r_mont = jnp.asarray(np.asarray(F.r_mont))     # Montgomery 1
+
+    def norm(P: JPoints):
+        shape = P.X.shape
+        ins = [t.reshape(-1, L) for t in (P.X, P.Y, P.Z)]
+        n = ins[0].shape[0]
+        pad = (-n) % block_b
+        if pad:
+            ins = [jnp.concatenate([t, jnp.zeros((pad, L), t.dtype)])
+                   for t in ins]
+        stacked = [t.reshape(-1, block_b, L) for t in ins]
+
+        def body(ops):
+            x_t, y_t, z_t = (o.T for o in ops)
+
+            def sbody(acc, bit):
+                acc2 = call_mul(acc, acc)
+                accz = call_mul(acc2, z_t)
+                return jnp.where(bit > 0, accz, acc2), None
+
+            zinv, _ = jax.lax.scan(sbody, z_t, bits[1:])
+            zinv2 = call_mul(zinv, zinv)
+            zinv3 = call_mul(zinv2, zinv)
+            xo = call_mul(x_t, zinv2)
+            yo = call_mul(y_t, zinv3)
+            znz = jnp.any(z_t != 0, axis=0, keepdims=True)
+            zo = jnp.where(znz, r_mont[:, None], 0)
+            return xo.T, yo.T, zo.T
+
+        k = stacked[0].shape[0]
+        if k == 1:
+            outs = body(tuple(s[0] for s in stacked))
+        else:
+            outs = jax.lax.map(body, tuple(stacked))
+            outs = tuple(o.reshape(-1, L) for o in outs)
+        return JPoints(*(o[:n].reshape(shape) for o in outs))
+
+    return jax.jit(norm)
+
+
+def _pad_t(x, block_b, fill=0):
+    B = x.shape[1]
+    pad = (-B) % block_b
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((x.shape[0], pad), fill, x.dtype)], axis=1)
+    return x
+
+
+def make_add_fns(jc: JCurve, block_b: int = DEFAULT_BLOCK):
+    """Returns (add_fn, affine_add_fn, double_fn) operating on (..., L)-layout
+    JPoints batches, backed by the fused Pallas kernels.
+
+    add_fn/affine_add_fn: (A, B) -> (JPoints, flag scalar int32)
+    double_fn: P -> JPoints
+
+    Every call is routed through a fixed-block `lax.map` over chunks so that
+    exactly THREE Mosaic kernels are ever compiled per curve, regardless of
+    batch shape (per-shape Mosaic recompiles through the remote compile relay
+    cost ~30-70 s each; XLA-only wrapper programs compile in seconds).
+    """
+    F = jc.F
+    L = F.L
+    p_int = F.p
+    ninv_int = F.field.Ninv_R
+    call_full, call_aff, call_dbl = _kernels_for(L, p_int, ninv_int, block_b)
+    full_block = min(block_b, FULL_ADD_BLOCK)
+
+    def _chunked(call, chunk, n_in, n_out, inputs, fills):
+        """Pad each (n, L) input to a chunk multiple and lax.map the fixed
+        (L, chunk) pallas call over chunks; returns n_out (n, L) arrays plus
+        (if the kernel emits one) a flag scalar."""
+        n = inputs[0].shape[0]
+        pad = (-n) % chunk
+        padded = []
+        for t, fill in zip(inputs, fills):
+            if pad:
+                t = jnp.concatenate(
+                    [t, jnp.full((pad, L), fill, t.dtype)], axis=0)
+            padded.append(t.reshape(-1, chunk, L))
+        k = padded[0].shape[0]
+
+        def body(ops):
+            outs = call(*(o.T for o in ops))
+            return tuple(o.T for o in outs[:n_out]) + tuple(outs[n_out:])
+
+        if k == 1:
+            outs = body(tuple(p[0] for p in padded))
+        else:
+            outs = jax.lax.map(body, tuple(padded))
+            outs = tuple(o.reshape(-1, *o.shape[2:]) for o in outs)
+        coords = tuple(o[:n] for o in outs[:n_out])
+        rest = outs[n_out:]
+        return coords, rest
+
+    def add_fn(A: JPoints, B: JPoints):
+        shape = A.X.shape
+        ins = [t.reshape(-1, L) for t in (A.X, A.Y, A.Z, B.X, B.Y, B.Z)]
+        # pad: Z=0 (infinity) pairs are not degenerate -> flag stays 0
+        (ox, oy, oz), (fl,) = _chunked(call_full, full_block, 6, 3, ins,
+                                       fills=[0] * 6)
+        flag = jnp.max(fl)
+        return JPoints(ox.reshape(shape), oy.reshape(shape),
+                       oz.reshape(shape)), flag
+
+    def affine_add_fn(A: JPoints, B: JPoints):
+        """Both operands affine with Z==1 (caller guarantees); Z ignored.
+        Padding uses distinct x (0 vs 1) so padded pairs are never
+        degenerate."""
+        shape = A.X.shape
+        ins = [t.reshape(-1, L) for t in (A.X, A.Y, B.X, B.Y)]
+        (ox, oy, oz), (fl,) = _chunked(call_aff, block_b, 4, 3, ins,
+                                       fills=[0, 0, 1, 0])
+        flag = jnp.max(fl)
+        return JPoints(ox.reshape(shape), oy.reshape(shape),
+                       oz.reshape(shape)), flag
+
+    def double_fn(P: JPoints):
+        shape = P.X.shape
+        ins = [t.reshape(-1, L) for t in (P.X, P.Y, P.Z)]
+        (ox, oy, oz), _ = _chunked(call_dbl, block_b, 3, 3, ins, fills=[0] * 3)
+        return JPoints(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+
+    return add_fn, affine_add_fn, double_fn

@@ -170,7 +170,10 @@ def mont_mul_t_fn(L: int, p_int: int, ninv_int: int, block_b: int = BLOCK_B):
     kernel = _make_mont_mul_kernel(L)
     tb = _const_tables(L, p_int, ninv_int)
     names = ["oh", "ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
-    consts = [jnp.asarray(tb[n]) for n in names]
+    # keep constants as NUMPY arrays: this factory is lru-cached and may be
+    # first invoked inside a jit trace — jnp.asarray there would capture
+    # per-trace tracers in the closure (UnexpectedTracerError on reuse)
+    consts = [np.asarray(tb[n]) for n in names]
     const_specs = [
         pl.BlockSpec(tb[n].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for n in names
