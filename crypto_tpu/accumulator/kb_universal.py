@@ -59,6 +59,31 @@ class KBUniversalAccumulator:
             mem=self.mem.add_batch(elements, sk, mem_state),
             non_mem=self.non_mem.remove_batch(elements, sk, non_mem_state))
 
+    def remove_batch(self, elements, sk, mem_state, non_mem_state):
+        """`accumulator.rs:127-148`."""
+        return KBUniversalAccumulator(
+            mem=self.mem.remove_batch(elements, sk, mem_state),
+            non_mem=self.non_mem.add_batch(elements, sk, non_mem_state))
+
+    def batch_updates(self, additions, removals, sk, mem_state,
+                      non_mem_state):
+        """Simultaneous additions+removals (`accumulator.rs:149-182`)."""
+        return KBUniversalAccumulator(
+            mem=self.mem.batch_updates(additions, removals, sk, mem_state),
+            non_mem=self.non_mem.batch_updates(removals, additions, sk,
+                                               non_mem_state))
+
+    # -- value accessors (`accumulator.rs:248-266`) --
+
+    def mem_value(self):
+        return self.mem.value()
+
+    def non_mem_value(self):
+        return self.non_mem.value()
+
+    def value(self):
+        return (self.mem.value(), self.non_mem.value())
+
     # -- witnesses --
 
     def get_membership_witness(self, element, sk, mem_state) -> MembershipWitness:
@@ -66,6 +91,17 @@ class KBUniversalAccumulator:
 
     def get_non_membership_witness(self, element, sk, non_mem_state) -> MembershipWitness:
         return self.non_mem.get_membership_witness(element, sk, non_mem_state)
+
+    def get_membership_witnesses_for_batch(self, elements, sk, mem_state):
+        """`accumulator.rs:194-204`."""
+        return [self.mem.get_membership_witness(e, sk, mem_state)
+                for e in elements]
+
+    def get_non_membership_witnesses_for_batch(self, elements, sk,
+                                               non_mem_state):
+        """`accumulator.rs:216-226`."""
+        return [self.non_mem.get_membership_witness(e, sk, non_mem_state)
+                for e in elements]
 
     def verify_membership(self, element, witness, pk: AccumPublicKey,
                           params: AccumSetupParams) -> bool:

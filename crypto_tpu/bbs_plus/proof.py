@@ -168,6 +168,23 @@ class PoKOfSignatureG1Proof:
             raise BBSPlusError("pairing check failed")
         return True
 
+    def verify_schnorr_with_randomized_mult_checker(
+            self, revealed_msgs: dict, challenge: Fp,
+            params: SignatureParamsG1, rmc) -> None:
+        """Accumulate both Schnorr legs into a RandomizedMultChecker so N
+        proofs verify with ONE MSM (reference `proof.rs` with
+        `RandomizedMultChecker`; used by `batch.batch_verify_proofs`)."""
+        A_bar_minus_d = (self.A_bar - self.d).normalize()
+        self.sc_resp_1.verify_with_randomized_mult_checker(
+            A_bar_minus_d, self.A_prime, params.h_0, challenge, rmc)
+        undisclosed = [i for i in range(len(params.h)) if i not in revealed_msgs]
+        bases_2 = [params.h[i] for i in undisclosed] + [self.d, params.h_0]
+        pts = [params.g1] + [params.h[i] for i in revealed_msgs]
+        sc = [bls.Fr(1)] + [revealed_msgs[i] for i in revealed_msgs]
+        y = (-msm(pts, sc)).normalize()
+        rmc.add_many(bases_2 + [y],
+                     list(self.sc_resp_2.responses) + [-challenge], self.T2)
+
     def verify_with_randomized_pairing_checker(self, revealed_msgs: dict,
                                                challenge: Fp, pk: PublicKeyG2,
                                                params: SignatureParamsG1,

@@ -10,8 +10,11 @@ Z == 0 encodes infinity.  All ops are branch-free (select-based), total
 (handle doubling / inverse / infinity cases), shape-polymorphic over leading
 batch dims, and jit-cached.
 
-Curve model: y^2 = x^3 + b with a = 0 (BLS12-381 G1; the formulas assume
-a == 0, asserted at construction).
+Curve model: y^2 = x^3 + b with a = 0 (BLS12-381/BN254 G1 and G2; the
+formulas assume a == 0, asserted at construction).  The coefficient field is
+generic: prime-field curves (G1) run over `JField`, quadratic-extension
+curves (G2 over Fq2) over `JQuadField` — elements then carry extra trailing
+tower axes (`F.unit_ndim`), which every formula here is agnostic to.
 """
 
 from __future__ import annotations
@@ -25,7 +28,18 @@ import jax.numpy as jnp
 
 from ..fields.host import Field
 from ..fields.jfield import JField, jfield_for
+from ..fields.tower import QuadExtField
 from .sw import SWCurve, Point
+
+
+def _device_field_for(K):
+    """Device-field context for a host coefficient field (Fq or Fq2)."""
+    if isinstance(K, Field):
+        return jfield_for(K)
+    if isinstance(K, QuadExtField):
+        from ..fields.jtower import jquad_for
+        return jquad_for(K)
+    raise TypeError(f"no device field for coefficient field {K!r}")
 
 
 class JPoints(NamedTuple):
@@ -44,13 +58,21 @@ class JAffine(NamedTuple):
 
 class JCurve:
     def __init__(self, curve: SWCurve):
-        assert isinstance(curve.K, Field), "JCurve currently supports prime-field curves (G1)"
         assert curve.a.is_zero(), "formulas assume a == 0"
         self.curve = curve
-        self.F: JField = jfield_for(curve.K)
-        self.b_mont = self.F.pack([int(curve.b)])[0]
+        self.F = _device_field_for(curve.K)
+        self.b_mont = self.F.pack([curve.b])[0]
         self.jit_add = jax.jit(self.add)
         self.jit_double = jax.jit(self.double)
+
+    @property
+    def _u(self) -> int:
+        """Trailing axes per coefficient-field element."""
+        return self.F.unit_ndim
+
+    def _bshape(self, t: jnp.ndarray) -> tuple:
+        """Leading (batch) shape of a coordinate tensor."""
+        return t.shape[: t.ndim - self.F.unit_ndim]
 
     # ------------------------------------------------------------------
     # constructors / conversion
@@ -63,52 +85,54 @@ class JCurve:
 
     def pack_points(self, points: list[Point]) -> JPoints:
         """Host points -> device Jacobian batch (normalized to Z=1/0)."""
+        K = self.curve.K
         xs, ys, zs = [], [], []
         for p in points:
             if p.is_infinity():
-                xs.append(1)
-                ys.append(1)
-                zs.append(0)
+                xs.append(K.one())
+                ys.append(K.one())
+                zs.append(K.zero())
             else:
                 x, y = p.to_affine()
-                xs.append(int(x))
-                ys.append(int(y))
-                zs.append(1)
+                xs.append(x)
+                ys.append(y)
+                zs.append(K.one())
         return JPoints(self.F.pack(xs), self.F.pack(ys), self.F.pack(zs))
 
     def pack_affine(self, points: list[Point]) -> JAffine:
+        K = self.curve.K
         xs, ys, infs = [], [], []
         for p in points:
             if p.is_infinity():
-                xs.append(0)
-                ys.append(0)
+                xs.append(K.zero())
+                ys.append(K.zero())
                 infs.append(True)
             else:
                 x, y = p.to_affine()
-                xs.append(int(x))
-                ys.append(int(y))
+                xs.append(x)
+                ys.append(y)
                 infs.append(False)
         return JAffine(self.F.pack(xs), self.F.pack(ys), jnp.asarray(np.array(infs)))
 
     def unpack(self, pts: JPoints) -> list[Point]:
         """Device batch -> host points."""
         F = self.F
-        xs = np.atleast_1d(F.unpack(pts.X))
-        ys = np.atleast_1d(F.unpack(pts.Y))
-        zs = np.atleast_1d(F.unpack(pts.Z))
-        K = self.curve.K
+        xs = np.atleast_1d(F.unpack_host(pts.X))
+        ys = np.atleast_1d(F.unpack_host(pts.Y))
+        zs = np.atleast_1d(F.unpack_host(pts.Z))
         out = []
         for x, y, z in zip(xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)):
-            if int(z) == 0:
+            if z.is_zero():
                 out.append(self.curve.infinity())
             else:
-                out.append(Point(K(int(x)), K(int(y)), K(int(z)), self.curve))
+                out.append(Point(x, y, z, self.curve))
         return out
 
     def affine_to_jacobian(self, a: JAffine) -> JPoints:
         F = self.F
-        one = F.ones(a.X.shape[:-1])
-        z = F.select(a.inf, F.zeros(a.X.shape[:-1]), one)
+        shape = self._bshape(a.X)
+        one = F.ones(shape)
+        z = F.select(a.inf, F.zeros(shape), one)
         return JPoints(a.X, a.Y, z)
 
     # ------------------------------------------------------------------
@@ -159,7 +183,8 @@ class JCurve:
         # doubling a point with Y=0 (2-torsion; not on odd-order subgroups
         # but be total anyway) or infinity -> infinity
         bad = F.is_zero(p.Y) | self.is_infinity(p)
-        return self.select(bad, self.infinity(p.X.shape[:-1]), JPoints(X3, Y3, Z3))
+        return self.select(bad, self.infinity(self._bshape(p.X)),
+                           JPoints(X3, Y3, Z3))
 
     def add(self, p: JPoints, q: JPoints) -> JPoints:
         """add-2007-bl with full case handling via selects: 11M+5S."""
@@ -190,7 +215,7 @@ class JCurve:
         dbl = self.double(p)
         res = self.select(h_zero & r_zero & ~p_inf & ~q_inf, dbl, res)
         res = self.select(h_zero & ~r_zero & ~p_inf & ~q_inf,
-                          self.infinity(p.X.shape[:-1]), res)
+                          self.infinity(self._bshape(p.X)), res)
         res = self.select(p_inf, q, res)
         res = self.select(q_inf & ~p_inf, p, res)
         return res
@@ -216,7 +241,7 @@ class JCurve:
             acc = self.select(bits_col > 0, added, acc)
             return acc, None
 
-        init = self.infinity(p.X.shape[:-1])
+        init = self.infinity(self._bshape(p.X))
         bits_t = jnp.moveaxis(scalar_bits, -1, 0)
         out, _ = jax.lax.scan(body, init, bits_t)
         return out

@@ -1,0 +1,380 @@
+"""Batched BLS12 pairing on device: Miller loop + final exponentiation.
+
+TPU-native replacement for the arkworks `Pairing::{multi_miller_loop,
+final_exponentiation}` surface every verifier in the reference leans on
+(`utils/src/randomized_pairing_check.rs:116-215`,
+`bbs_plus/src/proof.rs:494-525`, `legogroth16/src/verifier.rs:62-120`).
+
+Design (TPU-first):
+  * All arithmetic runs on the device extension towers (`fields/jtower`),
+    whose base-field muls route through the Pallas Montgomery-mul kernel on
+    TPU.  Elements are batched over a leading axis: N pairings run as ONE
+    program, data-parallel across the batch.
+  * The Miller loop is a `lax.scan` over the (static) bits of |x|: each step
+    does the doubling step + line evaluation unconditionally and the
+    addition step behind a per-bit select (|x| has Hamming weight 6, so the
+    waste is small and the traced graph is one iteration, keeping compiles
+    fast and the program cacheable at any batch size).
+  * Per-pair Miller values are accumulated independently (the product-of-
+    pairings form shares squarings in the reference only as a CPU
+    optimization; on TPU the batch axis is the parallelism) and combined by
+    a log-depth tree product in Fq12, then one final exponentiation.
+  * Infinity pairs contribute the identity: their line coefficients are
+    masked to (1, 0, 0).
+
+Host reference (bit-exact parity target): `curves/bls12_381.py:147-241`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.jfield import jfield_for
+from ..fields.jtower import jquad_for, jcubic_for, jfield12_for
+from .sw import Point
+
+
+class JPairing:
+    """Device pairing context for a BLS12 curve module (e.g. bls12_381)."""
+
+    def __init__(self, mod):
+        assert mod.X < 0, "BLS12 x assumed negative (BLS12-381)"
+        self.mod = mod
+        self.jf = jfield_for(mod.Fq)
+        self.j2 = jquad_for(mod.Fq2)
+        self.j6 = jcubic_for(mod.Fq6)
+        self.j12 = jfield12_for(mod.Fq12)
+        x_abs = -mod.X
+        self.x_bits = np.array([int(c) for c in bin(x_abs)[2:]], np.int32)
+        # (x-1)/3 magnitude for the hard-part addition chain
+        self.k_bits = np.array([int(c) for c in bin((x_abs + 1) // 3)[2:]],
+                               np.int32)
+        two_inv = mod.Fq(2).inverse()
+        self.two_inv = self.jf.pack([int(two_inv)])[0]
+        self.twist_b = self.j2.pack([mod.XI.mul_base(4)])[0]
+        if self._eager():
+            self._ml_jit = self._miller_loop
+            self._fe_jit = self._final_exp
+        else:
+            self._ml_jit = jax.jit(self._miller_loop)
+            self._fe_jit = jax.jit(self._final_exp)
+
+    # -- Fq2 helpers on batched tensors ---------------------------------
+    def _mul_fq(self, a2, s):
+        """Fq2 tensor * base-field tensor (broadcast over coords)."""
+        F = self.jf
+        s = jnp.broadcast_to(s, a2[..., 0, :].shape)
+        return jnp.stack([F.mul(a2[..., 0, :], s), F.mul(a2[..., 1, :], s)],
+                         axis=-2)
+
+    # -- sparse Fq6 muls --------------------------------------------------
+    def _fq6_mul_sparse01(self, x6, c0, c1):
+        """(x0 + x1 v + x2 v^2) * (c0 + c1 v)."""
+        F2 = self.j2
+        x0, x1, x2 = (x6[..., i, :, :] for i in range(3))
+        d0 = F2.add(F2.mul(x0, c0), self.j6.mul_xi(F2.mul(x2, c1)))
+        d1 = F2.add(F2.mul(x0, c1), F2.mul(x1, c0))
+        d2 = F2.add(F2.mul(x1, c1), F2.mul(x2, c0))
+        return jnp.stack([d0, d1, d2], axis=-3)
+
+    def _fq6_mul_sparse1(self, x6, c1):
+        """(x0 + x1 v + x2 v^2) * (c1 v)."""
+        F2 = self.j2
+        x0, x1, x2 = (x6[..., i, :, :] for i in range(3))
+        return jnp.stack([self.j6.mul_xi(F2.mul(x2, c1)), F2.mul(x0, c1),
+                          F2.mul(x1, c1)], axis=-3)
+
+    def _mul_by_014(self, f, c0, c1, c4):
+        """f * (c0 + c1 v + c4 w) — sparse Fq12 multiplication (15 Fq2 muls).
+        Mirrors host `_mul_by_014` (`bls12_381.py:132-144`)."""
+        F6 = self.j6
+        fc0 = f[..., 0, :, :, :]
+        fc1 = f[..., 1, :, :, :]
+        v0 = self._fq6_mul_sparse01(fc0, c0, c1)
+        v1 = self._fq6_mul_sparse1(fc1, c4)
+        nc0 = F6.add(v0, F6.mul_by_v(v1))
+        t = self._fq6_mul_sparse01(F6.add(fc0, fc1), c0, self.j2.add(c1, c4))
+        nc1 = F6.sub(F6.sub(t, v0), v1)
+        return jnp.stack([nc0, nc1], axis=-4)
+
+    # -- Miller loop steps -----------------------------------------------
+    def _doubling_step(self, rx, ry, rz):
+        """Costello-Lange-Naehrig doubling (host `_doubling_step`)."""
+        F2 = self.j2
+        tb = jnp.broadcast_to(self.twist_b, rx.shape)
+        a = self._mul_fq(F2.mul(rx, ry), self.two_inv)
+        b = F2.square(ry)
+        c = F2.square(rz)
+        c3 = F2.add(F2.double(c), c)
+        e = F2.mul(tb, c3)
+        f_ = F2.add(F2.double(e), e)
+        g = self._mul_fq(F2.add(b, f_), self.two_inv)
+        h = F2.sub(F2.square(F2.add(ry, rz)), F2.add(b, c))
+        i = F2.sub(e, b)
+        j = F2.square(rx)
+        e2 = F2.square(e)
+        nx = F2.mul(a, F2.sub(b, f_))
+        ny = F2.sub(F2.square(g), F2.add(F2.double(e2), e2))
+        nz = F2.mul(b, h)
+        return (nx, ny, nz), (i, F2.add(F2.double(j), j), F2.neg(h))
+
+    def _addition_step(self, rx, ry, rz, qx, qy):
+        F2 = self.j2
+        theta = F2.sub(ry, F2.mul(qy, rz))
+        lam = F2.sub(rx, F2.mul(qx, rz))
+        c = F2.square(theta)
+        d = F2.square(lam)
+        e = F2.mul(lam, d)
+        f_ = F2.mul(rz, c)
+        g = F2.mul(rx, d)
+        h = F2.sub(F2.add(e, f_), F2.double(g))
+        nx = F2.mul(lam, h)
+        ny = F2.sub(F2.mul(theta, F2.sub(g, h)), F2.mul(e, ry))
+        nz = F2.mul(rz, e)
+        j = F2.sub(F2.mul(theta, qx), F2.mul(lam, qy))
+        return (nx, ny, nz), (j, F2.neg(theta), lam)
+
+    def _mask_line(self, line, active):
+        """Inactive pairs contribute the identity line (1, 0, 0)."""
+        c0, c1, c4 = line
+        one2 = self.j2.ones(())
+        c0 = self.j2.select(active, c0, jnp.broadcast_to(one2, c0.shape))
+        c1 = self.j2.select(active, c1, jnp.zeros_like(c1))
+        c4 = self.j2.select(active, c4, jnp.zeros_like(c4))
+        return c0, c1, c4
+
+    # -- batched Miller loop ---------------------------------------------
+    @staticmethod
+    def _eager() -> bool:
+        """On CPU (tests) protocols run EAGERLY: every field op dispatches
+        its own small cached jit instead of tracing one mega-graph whose
+        XLA:CPU compile takes tens of minutes.  On TPU the fused/scanned
+        form is used (fewer dispatches through the remote tunnel)."""
+        import os
+        mode = os.environ.get("CRYPTO_TPU_PAIRING_EAGER")
+        if mode is not None:
+            return mode == "1"
+        return jax.default_backend() == "cpu"
+
+    def _miller_loop(self, px, py, qx, qy, active):
+        """px/py: (B, L) G1 affine; qx/qy: (B, 2, L) G2 affine;
+        active: (B,) bool.  Returns per-pair Miller values (B, 2,3,2,L)."""
+        F2 = self.j2
+        f0 = self.j12.ones(px.shape[:-1])
+        rx0, ry0 = qx, qy
+        rz0 = jnp.broadcast_to(F2.ones(()), qx.shape).astype(jnp.int32)
+
+        def dbl_part(f, rx, ry, rz):
+            fsq = self.j12.square(f)
+            (rx, ry, rz), line = self._doubling_step(rx, ry, rz)
+            c0, c1, c4 = self._mask_line(line, active)
+            fsq = self._mul_by_014(fsq, c0, self._mul_fq(c1, px),
+                                   self._mul_fq(c4, py))
+            return fsq, rx, ry, rz
+
+        def add_part(f, rx, ry, rz):
+            (ax, ay, az), aline = self._addition_step(rx, ry, rz, qx, qy)
+            c0a, c1a, c4a = self._mask_line(aline, active)
+            fa = self._mul_by_014(f, c0a, self._mul_fq(c1a, px),
+                                  self._mul_fq(c4a, py))
+            return fa, ax, ay, az
+
+        if self._eager():
+            # static unrolled loop, eager dispatch (CPU tests)
+            f, rx, ry, rz = f0, rx0, ry0, rz0
+            first = True
+            for bit in self.x_bits[1:]:
+                if first:
+                    (rx, ry, rz), line = self._doubling_step(rx, ry, rz)
+                    c0, c1, c4 = self._mask_line(line, active)
+                    f = self._mul_by_014(f, c0, self._mul_fq(c1, px),
+                                         self._mul_fq(c4, py))
+                    first = False
+                else:
+                    f, rx, ry, rz = dbl_part(f, rx, ry, rz)
+                if bit:
+                    f, rx, ry, rz = add_part(f, rx, ry, rz)
+            return self.j12.conjugate(f)
+
+        bits = jnp.asarray(self.x_bits[1:])
+        first_mask = jnp.zeros_like(bits).at[0].set(1)
+
+        def step(carry, inp):
+            bit, first = inp
+            f, rx, ry, rz = carry
+            fsq = self.j12.square(f)
+            f = jnp.where(first > 0, f, fsq)
+            (rx, ry, rz), line = self._doubling_step(rx, ry, rz)
+            c0, c1, c4 = self._mask_line(line, active)
+            f = self._mul_by_014(f, c0, self._mul_fq(c1, px),
+                                 self._mul_fq(c4, py))
+            # conditional addition step (bit of |x|)
+            fa, ax, ay, az = add_part(f, rx, ry, rz)
+            take = bit > 0
+            f = jnp.where(take, fa, f)
+            rx = F2.select(jnp.broadcast_to(take, rx.shape[:-2]), ax, rx)
+            ry = F2.select(jnp.broadcast_to(take, ry.shape[:-2]), ay, ry)
+            rz = F2.select(jnp.broadcast_to(take, rz.shape[:-2]), az, rz)
+            return (f, rx, ry, rz), None
+
+        (f, _, _, _), _ = jax.lax.scan(step, (f0, rx0, ry0, rz0),
+                                       (bits, first_mask))
+        # x < 0: conjugate
+        return self.j12.conjugate(f)
+
+    # -- final exponentiation ---------------------------------------------
+    def _cyc_exp_abs(self, f, bits):
+        """f^e on cyclotomic elements, e = static positive int (MSB-first
+        bit array), via scan of cyclotomic squarings + selected muls
+        (eager unrolled loop on CPU)."""
+        j12 = self.j12
+        if self._eager():
+            r = f
+            for bit in bits[1:]:
+                r = j12.cyclotomic_square(r)
+                if bit:
+                    r = j12.mul(r, f)
+            return r
+
+        def step(r, bit):
+            r = j12.cyclotomic_square(r)
+            rm = j12.mul(r, f)
+            return jnp.where(bit > 0, rm, r), None
+
+        # first bit of e is 1: start from f
+        out, _ = jax.lax.scan(step, f, jnp.asarray(bits[1:]))
+        return out
+
+    def _exp_by_neg_x(self, f):
+        return self.j12.conjugate(self._cyc_exp_abs(f, self.x_bits))
+
+    def _final_exp(self, f):
+        """Mirrors host `final_exponentiation` (`bls12_381.py:207-231`)."""
+        j12 = self.j12
+        # easy part
+        f = j12.mul(j12.conjugate(f), j12.inv(f))
+        f = j12.mul(j12.frobenius(f, 2), f)
+        # hard part: d = ((x-1)/3)(x-1)(x+p)(x^2+p^2-1) + 1
+        a = j12.mul(self._exp_by_neg_x(f), j12.conjugate(f))      # f^(x-1)
+        b = j12.conjugate(self._cyc_exp_abs(a, self.k_bits))       # a^((x-1)/3)
+        c = j12.mul(self._exp_by_neg_x(b), j12.frobenius(b, 1))    # b^(x+p)
+        cx = self._exp_by_neg_x(c)
+        cxx = self._exp_by_neg_x(cx)
+        d = j12.mul(j12.mul(cxx, j12.frobenius(c, 2)), j12.conjugate(c))
+        return j12.mul(d, f)
+
+    # -- shape-bucketed fused programs -------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad batch sizes to powers of two (min 4) so the number of
+        compiled programs stays ~log of the largest batch ever seen."""
+        return max(4, 1 << (n - 1).bit_length())
+
+    def _pad_pairs(self, px, py, qx, qy, active, bucket: int):
+        import jax.numpy as jnp
+        n = px.shape[0]
+        pad = bucket - n
+        if pad == 0:
+            return px, py, qx, qy, active
+        return (jnp.concatenate([px, jnp.zeros((pad,) + px.shape[1:], px.dtype)]),
+                jnp.concatenate([py, jnp.zeros((pad,) + py.shape[1:], py.dtype)]),
+                jnp.concatenate([qx, jnp.zeros((pad,) + qx.shape[1:], qx.dtype)]),
+                jnp.concatenate([qy, jnp.zeros((pad,) + qy.shape[1:], qy.dtype)]),
+                jnp.concatenate([active, jnp.zeros((pad,), active.dtype)]))
+
+    @functools.cached_property
+    def _fused_jit(self):
+        def run(px, py, qx, qy, active):
+            f = self._miller_loop(px, py, qx, qy, active)
+            f = self.product(f)
+            return self._final_exp(f)
+        if self._eager():
+            return run          # eager: per-op cached jits, no mega-compile
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _miller_product_jit(self):
+        def run(px, py, qx, qy, active):
+            return self.product(self._miller_loop(px, py, qx, qy, active))
+        if self._eager():
+            return run
+        return jax.jit(run)
+
+    # -- public API --------------------------------------------------------
+    def pack_pairs(self, pairs):
+        """Host [(G1 Point, G2 Point)] -> device tensors (px, py, qx, qy,
+        active)."""
+        Fq, Fq2 = self.mod.Fq, self.mod.Fq2
+        pxs, pys, qxs, qys, act = [], [], [], [], []
+        for (p, q) in pairs:
+            if p.is_infinity() or q.is_infinity():
+                pxs.append(Fq(0)); pys.append(Fq(0))
+                qxs.append(Fq2.zero()); qys.append(Fq2.zero())
+                act.append(False)
+            else:
+                x1, y1 = p.to_affine()
+                x2, y2 = q.to_affine()
+                pxs.append(x1); pys.append(y1)
+                qxs.append(x2); qys.append(y2)
+                act.append(True)
+        return (self.jf.pack([int(v) for v in pxs]),
+                self.jf.pack([int(v) for v in pys]),
+                self.j2.pack(qxs), self.j2.pack(qys),
+                jnp.asarray(np.array(act)))
+
+    def miller_loop_batch(self, px, py, qx, qy, active):
+        """Per-pair Miller values, batched (device tensors in/out)."""
+        return self._ml_jit(px, py, qx, qy, active)
+
+    def product(self, fs):
+        """Log-depth tree product over the leading axis of Fq12 tensor."""
+        j12 = self.j12
+        n = fs.shape[0]
+        while n > 1:
+            half = n // 2
+            rest = fs[2 * half:n]
+            fs = j12.mul(fs[:half], fs[half:2 * half])
+            if rest.shape[0]:
+                fs = jnp.concatenate([fs, rest])
+            n = fs.shape[0]
+        return fs[0]
+
+    def final_exponentiation(self, f):
+        return self._fe_jit(f)
+
+    def multi_pairing(self, pairs):
+        """Host pairs -> host Fp12 result, computed on device.  Bit-exact
+        with host `multi_pairing` (asserted in tests).  Batches are padded
+        to power-of-two buckets so compile count stays logarithmic."""
+        if not pairs:
+            return self.mod.Fq12.one()
+        packed = self.pack_pairs(pairs)
+        padded = self._pad_pairs(*packed, self._bucket(len(pairs)))
+        out = self._fused_jit(*padded)
+        return self.j12.unpack(out)
+
+    def miller_product(self, pairs):
+        """Host pairs -> host Fp12 product of per-pair Miller values (no
+        final exponentiation) — the accumulation form used by
+        `RandomizedPairingChecker`."""
+        if not pairs:
+            return self.mod.Fq12.one()
+        packed = self.pack_pairs(pairs)
+        padded = self._pad_pairs(*packed, self._bucket(len(pairs)))
+        return self.j12.unpack(self._miller_product_jit(*padded))
+
+    def pairing(self, p: Point, q: Point):
+        return self.multi_pairing([(p, q)])
+
+
+@functools.cache
+def jpairing_for(mod_name: str = "bls12_381") -> JPairing:
+    if mod_name == "bls12_381":
+        from . import bls12_381 as mod
+    else:
+        raise ValueError(f"unknown pairing module {mod_name}")
+    return JPairing(mod)

@@ -86,10 +86,13 @@ def _onehot_cols(L: int) -> np.ndarray:
 class JField:
     """Device-side field context bound to a host `Field`. Stateless ops."""
 
+    unit_ndim = 1   # trailing axes per element: (..., L)
+
     def __init__(self, field: Field):
         assert field.limb_bits == LIMB_BITS
         self.field = field
         self.L = field.num_limbs
+        self.unit_shape = (field.num_limbs,)
         self.p = field.p
         p_limbs = int_to_limbs(field.p, self.L)
         self.p_limbs = jnp.asarray(p_limbs)
@@ -129,6 +132,17 @@ class JField:
                 v = (v * R) % self.p
             out[k] = int_to_limbs(v, self.L)
         return jnp.asarray(out.reshape(arr.shape + (self.L,)))
+
+    def unpack_host(self, limbs):
+        """(..., L) device array -> host `Field` elements (object array).
+        Uniform protocol with the tower fields' `unpack_host`."""
+        ints = self.unpack(limbs)
+        arr = np.asarray(ints, dtype=object)
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i, v in enumerate(flat):
+            out[i] = self.field(int(v))
+        return out.reshape(arr.shape) if arr.shape else out[0]
 
     def unpack(self, limbs, mont: bool = True):
         """(..., L) device array -> nested lists of Python ints."""

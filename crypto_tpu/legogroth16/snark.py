@@ -46,16 +46,58 @@ class LegoGroth16Error(Exception):
 
 
 def _msm(points, scalars):
-    if len(points) >= DEVICE_MSM_THRESHOLD and points \
-            and points[0].curve is bls.G1:
-        # the device MSM packs base-field limbs, so G1 only; G2 MSMs (the
-        # b_g2_query, one per proof) stay on host
-        from ..ops.msm import msm_device
-        return msm_device(bls.G1, points, [int(s) for s in scalars])
+    if len(points) >= DEVICE_MSM_THRESHOLD:
+        from ..ops.pippenger import msm_pippenger
+        return msm_pippenger(points[0].curve,
+                             [p.normalize() for p in points],
+                             [int(s) for s in scalars])
     return msm_host(points, scalars)
 
 
+def _msm_query(pk: "ProvingKey", name: str, scalars, offset: int = 0):
+    """MSM over (a prefix of) a CRS query vector with the packed device copy
+    cached on the ProvingKey — the CRS is packed ONCE and stays
+    device-resident across proofs (closes VERDICT.md weak #3: `_msm` used to
+    re-pack host points on every call)."""
+    full = getattr(pk, name)
+    k = len(scalars)
+    points = full[offset:offset + k]
+    if not points:
+        return bls.G1.infinity()
+    if k < DEVICE_MSM_THRESHOLD:
+        return msm_host(points, scalars)
+    from ..ops.pippenger import msm_pippenger
+    from ..curves.jcurve import JPoints, jcurve_for
+    cache = pk.device_cache
+    entry = cache.get(name)
+    if entry is None:
+        import numpy as np
+        jc = jcurve_for(full[0].curve)
+        norm = [p.normalize() for p in full]
+        packed = jc.pack_points(norm)
+        inf_mask = np.array([p.is_infinity() for p in norm])
+        entry = (packed, inf_mask)
+        cache[name] = entry
+    packed, inf_mask = entry
+    if offset or k != len(full):
+        packed = JPoints(packed.X[offset:offset + k],
+                         packed.Y[offset:offset + k],
+                         packed.Z[offset:offset + k])
+        inf_mask = inf_mask[offset:offset + k]
+    return msm_pippenger(full[0].curve, packed,
+                         [int(s) for s in scalars], inf_mask=inf_mask,
+                         points_affine=True)
+
+
+DEVICE_FIXED_BASE_THRESHOLD = 512
+
+
 def _fixed_base_many(base: Point, scalars) -> list[Point]:
+    if len(scalars) >= DEVICE_FIXED_BASE_THRESHOLD:
+        # device window-table path (SURVEY §2.2 fixed-base row)
+        from ..ops.fixed_base import table_for
+        tab = table_for(base.curve, base)
+        return tab.mul_many_host([int(s) for s in scalars])
     return multiply_field_elems_with_same_group_elem(base, scalars)
 
 
@@ -90,6 +132,16 @@ class ProvingKey:
     b_g2_query: list
     h_query: list
     l_query: list
+
+    @property
+    def device_cache(self) -> dict:
+        """Lazily-created cache of device-packed query vectors (not part of
+        equality/serialization)."""
+        c = getattr(self, "_device_cache", None)
+        if c is None:
+            c = {}
+            object.__setattr__(self, "_device_cache", c)
+        return c
 
 
 @dataclass
@@ -287,19 +339,21 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
     wits = [int(x) for x in cs.witness_assignment]
     assignment = inst[1:] + wits  # all vars except the leading ONE
 
-    h_acc = _msm(pk.h_query, [F(x) for x in h[:len(pk.h_query)]])
-    l_acc = _msm(pk.l_query, [F(x) for x in wits[cwc:]]) \
+    h_acc = _msm_query(pk, "h_query", [F(x) for x in h[:len(pk.h_query)]])
+    l_acc = _msm_query(pk, "l_query", [F(x) for x in wits[cwc:]]) \
         if pk.l_query else bls.G1.infinity()
 
-    def calculate_coeff(initial, query, vk_param):
+    def calculate_coeff(initial, qname, vk_param):
+        query = getattr(pk, qname)
         acc = initial + query[0]
         if assignment and len(query) > 1:
-            acc = acc + _msm(query[1:], [F(x) for x in assignment])
+            acc = acc + _msm_query(pk, qname, [F(x) for x in assignment],
+                                   offset=1)
         return acc + vk_param
 
-    g_a = calculate_coeff(pk.delta_g1 * int(r), pk.a_query, vk.alpha_g1)
-    g1_b = calculate_coeff(pk.delta_g1 * int(s), pk.b_g1_query, pk.beta_g1)
-    g2_b = calculate_coeff(vk.delta_g2 * int(s), pk.b_g2_query, vk.beta_g2)
+    g_a = calculate_coeff(pk.delta_g1 * int(r), "a_query", vk.alpha_g1)
+    g1_b = calculate_coeff(pk.delta_g1 * int(s), "b_g1_query", pk.beta_g1)
+    g2_b = calculate_coeff(vk.delta_g2 * int(s), "b_g2_query", vk.beta_g2)
 
     g_c = g_a * int(s) + g1_b * int(r) - pk.delta_g1 * (int(r) * int(s) % F.p) \
         + l_acc + h_acc - pk.eta_delta_inv_g1 * int(v)

@@ -240,18 +240,20 @@ class PippengerEngine:
         HBM at 2^19+ batches."""
         jc = self.jc
         CH = 1 << 13
-        L = A.X.shape[-1]
+        ush = tuple(self.F.unit_shape)
+        u = self.F.unit_ndim
         shape = A.X.shape
-        n = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+        bshape = shape[: len(shape) - u]
+        n = int(np.prod(bshape)) if bshape else 1
         if n <= CH:
             return jc.add(A, B), jnp.zeros((), jnp.int32)
-        flat = [t.reshape(-1, L) for t in (A.X, A.Y, A.Z, B.X, B.Y, B.Z)]
+        flat = [t.reshape((-1,) + ush) for t in (A.X, A.Y, A.Z, B.X, B.Y, B.Z)]
         pad = (-n) % CH
         if pad:
             inf = jc.infinity((pad,))
             padder = [inf.X, inf.Y, inf.Z, inf.X, inf.Y, inf.Z]
             flat = [jnp.concatenate([t, p]) for t, p in zip(flat, padder)]
-        stacked = [t.reshape(-1, CH, L) for t in flat]
+        stacked = [t.reshape((-1, CH) + ush) for t in flat]
 
         def body(ops):
             ax, ay, az, bx, by, bz = ops
@@ -259,9 +261,9 @@ class PippengerEngine:
             return R.X, R.Y, R.Z
 
         ox, oy, oz = jax.lax.map(body, tuple(stacked))
-        out = JPoints(ox.reshape(-1, L)[:n].reshape(shape),
-                      oy.reshape(-1, L)[:n].reshape(shape),
-                      oz.reshape(-1, L)[:n].reshape(shape))
+        out = JPoints(ox.reshape((-1,) + ush)[:n].reshape(shape),
+                      oy.reshape((-1,) + ush)[:n].reshape(shape),
+                      oz.reshape((-1,) + ush)[:n].reshape(shape))
         return out, jnp.zeros((), jnp.int32)
 
     # -- traced bodies ------------------------------------------------------
@@ -275,9 +277,10 @@ class PippengerEngine:
         A = JPoints(A.X, F.select(sa < 0, F.neg(A.Y), A.Y), A.Z)
         B = JPoints(B.X, F.select(sb < 0, F.neg(B.Y), B.Y), B.Z)
         R, f = add(A, B)
-        pool_x = jax.lax.dynamic_update_slice(pool_x, R.X, (offset, 0))
-        pool_y = jax.lax.dynamic_update_slice(pool_y, R.Y, (offset, 0))
-        pool_z = jax.lax.dynamic_update_slice(pool_z, R.Z, (offset, 0))
+        zeros = (0,) * self.F.unit_ndim
+        pool_x = jax.lax.dynamic_update_slice(pool_x, R.X, (offset,) + zeros)
+        pool_y = jax.lax.dynamic_update_slice(pool_y, R.Y, (offset,) + zeros)
+        pool_z = jax.lax.dynamic_update_slice(pool_z, R.Z, (offset,) + zeros)
         return pool_x, pool_y, pool_z, flag | f.astype(jnp.int32)
 
     def _tail_body(self, pool_x, pool_y, pool_z, src, sign):
@@ -339,8 +342,9 @@ class PippengerEngine:
         logC = (logB + 1) // 2
         C = 1 << logC
         R = n // C
-        grid = JPoints(bx.reshape(R, C, -1), by.reshape(R, C, -1),
-                       bz.reshape(R, C, -1))
+        ush = tuple(self.F.unit_shape)
+        grid = JPoints(bx.reshape((R, C) + ush), by.reshape((R, C) + ush),
+                       bz.reshape((R, C) + ush))
         Sq_stack = JPoints(grid.X.swapaxes(0, 1), grid.Y.swapaxes(0, 1),
                            grid.Z.swapaxes(0, 1))
         Sq, f1 = tree_sum(Sq_stack, C)      # (R,): summed over c
@@ -388,13 +392,20 @@ class PippengerEngine:
         key = ("level", size, affine)
         if key not in self._level_jit:
             body = functools.partial(self._level_body, affine)
-            self._level_jit[key] = jax.jit(body, donate_argnums=(0, 1, 2))
+            if jax.default_backend() == "cpu":
+                # eager on CPU: per-field-op cached jits, no mega-compiles
+                self._level_jit[key] = body
+            else:
+                self._level_jit[key] = jax.jit(body, donate_argnums=(0, 1, 2))
         return self._level_jit[key]
 
     def _tail_jit(self, nb2: int):
         key = ("tail", nb2)
         if key not in self._level_jit:
-            self._level_jit[key] = jax.jit(self._tail_body)
+            if jax.default_backend() == "cpu":
+                self._level_jit[key] = self._tail_body
+            else:
+                self._level_jit[key] = jax.jit(self._tail_body)
         return self._level_jit[key]
 
     def run_window(self, pool: JPoints, plan: WindowPlan, c: int,
@@ -475,15 +486,15 @@ def canonical_signature(plans: list[WindowPlan]) -> tuple:
 
 def _pool_for(jc: JCurve, points: JPoints, pool_size: int) -> JPoints:
     """slot 0 = infinity, slots 1..N = inputs, rest scratch (infinity)."""
-    N = points.X.shape[0]
-    L = points.X.shape[-1]
+    ush = tuple(jc.F.unit_shape)
+    zeros = (0,) * jc.F.unit_ndim
     one = jc.F.ones(())
-    px = jnp.zeros((pool_size, L), jnp.int32).at[0].set(one)
-    py = jnp.zeros((pool_size, L), jnp.int32).at[0].set(one)
-    pz = jnp.zeros((pool_size, L), jnp.int32)
-    px = jax.lax.dynamic_update_slice(px, points.X, (1, 0))
-    py = jax.lax.dynamic_update_slice(py, points.Y, (1, 0))
-    pz = jax.lax.dynamic_update_slice(pz, points.Z, (1, 0))
+    px = jnp.zeros((pool_size,) + ush, jnp.int32).at[0].set(one)
+    py = jnp.zeros((pool_size,) + ush, jnp.int32).at[0].set(one)
+    pz = jnp.zeros((pool_size,) + ush, jnp.int32)
+    px = jax.lax.dynamic_update_slice(px, points.X, (1,) + zeros)
+    py = jax.lax.dynamic_update_slice(py, points.Y, (1,) + zeros)
+    pz = jax.lax.dynamic_update_slice(pz, points.Z, (1,) + zeros)
     return JPoints(px, py, pz)
 
 
@@ -529,10 +540,13 @@ def msm_pippenger(curve: SWCurve, points: list[Point] | JPoints,
         # compiles are minutes-long the FIRST time but persistently cached
         # (`jax_setup`).  "jc": composed-XLA curve formulas (field muls
         # still route through the Pallas Montgomery-mul kernel on TPU via
-        # the JField.mul backend switch) — the CPU/test path.
+        # the JField.mul backend switch) — the CPU/test path and the only
+        # path for extension-field curves (G2) for now.
         backend = os.environ.get(
             "CRYPTO_TPU_MSM_BACKEND",
             "pallas" if jax.default_backend() == "tpu" else "jc")
+    if jc.F.unit_ndim != 1 and backend == "pallas":
+        backend = "jc"   # fused kernels are prime-field-only today
     engine = _engine_for(jc, backend)
 
     digits = signed_digits(scalars, c, nbits)           # (W, N)

@@ -112,5 +112,21 @@ class RandomizedPairingChecker:
     def verify(self) -> bool:
         left = self.left
         if self.pending:
-            left = left * self._bl.miller_loop(self.pending)
+            left = left * self._miller(self.pending)
         return self._bl.final_exponentiation(left) == self.right
+
+    # device batching: above this many deferred pairs the multi-Miller loop
+    # runs batched on the TPU (`curves/jpairing.py`), the designated
+    # data-parallel verification surface (SURVEY.md §2.4)
+    DEVICE_THRESHOLD = 8
+
+    def _miller(self, pairs):
+        import os
+        use_dev = os.environ.get("CRYPTO_TPU_PAIRING_BACKEND")
+        if use_dev == "host" or (use_dev is None
+                                 and len(pairs) < self.DEVICE_THRESHOLD):
+            return self._bl.miller_loop(pairs)
+        from ..curves.jpairing import jpairing_for
+        jp = jpairing_for("bls12_381")
+        norm = [(a.normalize(), b.normalize()) for (a, b) in pairs]
+        return jp.miller_product(norm)
