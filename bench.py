@@ -84,9 +84,12 @@ def main() -> None:
     jac_points, _f = add_fn(Arep, Brep)
     from crypto_tpu.ops.pallas.curve_kernels import make_normalize_fn
     points = make_normalize_fn(jc)(jac_points)
-    scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
-    # widen scalars to full 255-bit range
-    scalars = [(s * (s + 1) * 0x9E3779B97F4A7C15) % bls.R for s in scalars]
+    # full-range Fr scalars from 4x63-bit words (the round-1 construction
+    # only spanned ~190 bits, skewing window 11 and emptying windows 12-15)
+    words = rng.integers(0, 1 << 63, size=(n, 4), dtype=np.int64).astype(object)
+    scalars = [(int(w0) | (int(w1) << 63) | (int(w2) << 126)
+                | (int(w3) << 189)) % bls.R
+               for (w0, w1, w2, w3) in words]
 
     # warmup (compile); host-scheduled Pippenger + fused Pallas point kernels
     inf_mask = np.zeros(n, dtype=bool)

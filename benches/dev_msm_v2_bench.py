@@ -54,8 +54,12 @@ points = make_normalize_fn(jc)(jac_points)
 jax.block_until_ready(points.X)
 print("points built", flush=True)
 
-scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
-scalars = [(s * (s + 1) * 0x9E3779B97F4A7C15) % bls.R for s in scalars]
+# full-range Fr scalars (4x64-bit words mod R); the old 63-bit-seeded
+# construction only spanned ~190 bits, skewing window 11 and emptying 12-15
+words = rng.integers(0, 1 << 63, size=(n, 4), dtype=np.int64).astype(object)
+scalars = [int(w0) | (int(w1) << 63) | (int(w2) << 126) | (int(w3) << 189)
+           for (w0, w1, w2, w3) in words]
+scalars = [s % bls.R for s in scalars]
 
 t0 = time.time()
 sbytes = scalars_to_bytes(scalars, 32)

@@ -12,10 +12,11 @@ from ..curves.sw import Point
 from ..fields.host import Fp
 from ..hashing import (blake2b512, concat_slices, field_elem_from_try_and_incr,
                        group_elem_from_try_and_incr)
+from ..utils.zeroize import ZeroizeMixin
 
 
 @dataclass
-class AccumSecretKey:
+class AccumSecretKey(ZeroizeMixin):
     alpha: Fp
 
     DST = b"VB-ACCUM-KEYGEN-SALT"

@@ -17,10 +17,11 @@ from ..fields.host import Fp
 from ..hashing import (blake2b512, concat_slices, field_elem_from_try_and_incr,
                        group_elem_from_try_and_incr, n_group_elements)
 from ..utils.msm import msm
+from ..utils.zeroize import ZeroizeMixin
 
 
 @dataclass
-class SecretKey:
+class SecretKey(ZeroizeMixin):
     x: Fp
 
     @classmethod

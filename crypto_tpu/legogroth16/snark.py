@@ -37,6 +37,10 @@ from ..r1cs.cs import ConstraintSystem, SynthesisError, evaluate_row
 from ..utils.msm import msm as msm_host, multiply_field_elems_with_same_group_elem
 from ..ops.ntt import domain_for
 
+# Default pairing context = BLS12-381; pass `ctx=crypto_tpu.curves.bn254` to
+# any entry point to run LegoGroth16 over BN254 (the curve of the reference's
+# circom bn128 fixtures, `legogroth16/test-vectors/bn128/`).  A context is a
+# curve module exposing Fr, G1, G2, pairing, multi_pairing.
 F = bls.Fr
 DEVICE_MSM_THRESHOLD = 2048
 
@@ -158,11 +162,11 @@ class PreparedVerifyingKey:
     alpha_beta: object  # GT element
 
     @classmethod
-    def from_vk(cls, vk: VerifyingKey) -> "PreparedVerifyingKey":
-        return cls(vk=vk, alpha_beta=bls.pairing(vk.alpha_g1, vk.beta_g2))
+    def from_vk(cls, vk: VerifyingKey, ctx=bls) -> "PreparedVerifyingKey":
+        return cls(vk=vk, alpha_beta=ctx.pairing(vk.alpha_g1, vk.beta_g2))
 
 
-def _lagrange_coeffs_at(domain, t: int) -> list[int]:
+def _lagrange_coeffs_at(domain, t: int, F=F) -> list[int]:
     """l_i(t) for radix-2 domain: Z(t)/N * w^i / (t - w^i)."""
     p = F.p
     N = domain.n
@@ -193,19 +197,21 @@ def _lagrange_coeffs_at(domain, t: int) -> list[int]:
     return out
 
 
-def generate_random_parameters(circuit, commit_witness_count: int, rng) -> ProvingKey:
+def generate_random_parameters(circuit, commit_witness_count: int, rng,
+                               ctx=bls) -> ProvingKey:
     """CRS generation (`generator.rs:230-440`)."""
-    trapdoors = tuple(F.rand(rng) for _ in range(5))
+    trapdoors = tuple(ctx.Fr.rand(rng) for _ in range(5))
     return generate_parameters_with_trapdoors(
-        circuit, commit_witness_count, rng, *trapdoors)
+        circuit, commit_witness_count, rng, *trapdoors, ctx=ctx)
 
 
 def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
                                        alpha, beta, gamma, delta,
-                                       eta) -> ProvingKey:
+                                       eta, ctx=bls) -> ProvingKey:
     """CRS from explicit toxic waste — needed by SAVER, which binds the
     encryption key to (gamma, delta) of the SNARK CRS
     (`saver/src/saver_groth16.rs:52-80`)."""
+    F = ctx.Fr
     cs = ConstraintSystem(F, mode="setup")
     circuit(cs)
 
@@ -222,7 +228,7 @@ def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
         if (pow(int(t), N, F.p) - 1) % F.p != 0:
             break
 
-    u = _lagrange_coeffs_at(domain, int(t))
+    u = _lagrange_coeffs_at(domain, int(t), F)
     zt = (pow(int(t), N, F.p) - 1) % F.p
 
     nvars = num_inst + num_wit
@@ -249,8 +255,8 @@ def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
     l = [(int(beta) * a[i] + int(alpha) * b[i] + c[i]) * delta_inv % p
          for i in range(nvars)]
 
-    g1 = bls.G1.generator()
-    g2 = bls.G2.generator()
+    g1 = ctx.G1.generator()
+    g2 = ctx.G2.generator()
 
     a_query = _fixed_base_many(g1, [F(x) for x in a])
     b_g1_query = _fixed_base_many(g1, [F(x) for x in b])
@@ -287,7 +293,7 @@ def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
     )
 
 
-def witness_map(cs: ConstraintSystem) -> list[int]:
+def witness_map(cs: ConstraintSystem, F=F) -> list[int]:
     """QAP witness map -> h coefficients (device NTTs;
     `r1cs_to_qap.rs:150-209`)."""
     p = F.p
@@ -320,9 +326,11 @@ def witness_map(cs: ConstraintSystem) -> list[int]:
     return [int(v) for v in np.atleast_1d(J.unpack(h))]
 
 
-def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
+def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None,
+                 ctx=bls):
     """Returns (Proof, v) — v is the commitment randomness the caller needs
     to open D (`prover.rs:32-120`)."""
+    F = ctx.Fr
     cs = ConstraintSystem(F, mode="prove")
     circuit(cs)
     if not cs.is_satisfied():
@@ -331,7 +339,7 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
     r, s = F.rand(rng), F.rand(rng)
     if v is None:
         v = F.rand(rng)
-    h = witness_map(cs)
+    h = witness_map(cs, F)
 
     vk = pk.vk
     cwc = vk.commit_witness_count
@@ -341,7 +349,7 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
 
     h_acc = _msm_query(pk, "h_query", [F(x) for x in h[:len(pk.h_query)]])
     l_acc = _msm_query(pk, "l_query", [F(x) for x in wits[cwc:]]) \
-        if pk.l_query else bls.G1.infinity()
+        if pk.l_query else ctx.G1.infinity()
 
     def calculate_coeff(initial, qname, vk_param):
         query = getattr(pk, qname)
@@ -360,7 +368,7 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
 
     committed = wits[:cwc]
     n_pub = vk.num_public_inputs
-    g_d = bls.G1.infinity()
+    g_d = ctx.G1.infinity()
     if committed:
         g_d = _msm(vk.gamma_abc_g1[n_pub:n_pub + cwc], [F(x) for x in committed])
     g_d = g_d + vk.eta_gamma_inv_g1 * int(v)
@@ -370,10 +378,11 @@ def create_proof(circuit, pk: ProvingKey, rng, v: Fp | None = None):
     return proof, v, [F(x) for x in committed]
 
 
-def rerandomize_proof(proof: Proof, vk: VerifyingKey, rng) -> Proof:
+def rerandomize_proof(proof: Proof, vk: VerifyingKey, rng, ctx=bls) -> Proof:
     """BKSV20-style rerandomization (`legogroth16/src/prover.rs:478-508`):
     A' = A/r1, B' = r1*B + r1*r2*(delta+gamma)_G2, C' = C + r2*A,
     D' = D + r2*A.  D is no longer a witness commitment afterwards."""
+    F = ctx.Fr
     r1 = F.rand_nonzero(rng)
     r2 = F.rand_nonzero(rng)
     a_r2 = proof.a * int(r2)
@@ -387,11 +396,12 @@ def rerandomize_proof(proof: Proof, vk: VerifyingKey, rng) -> Proof:
 
 def rerandomize_proof_1(proof: Proof, old_v: Fp, new_v: Fp,
                         vk: VerifyingKey, eta_delta_inv_g1: Point,
-                        rng) -> Proof:
+                        rng, ctx=bls) -> Proof:
     """Rerandomization that KEEPS D a commitment to the witnesses with
     fresh randomness new_v (`legogroth16/src/prover.rs:510-549`):
     C' = C + r2*A + (old_v-new_v)*(eta/delta)G1,
     D' = D + (new_v-old_v)*(eta/gamma)G1."""
+    F = ctx.Fr
     r1 = F.rand_nonzero(rng)
     r2 = F.rand_nonzero(rng)
     a_r2 = proof.a * int(r2)
@@ -403,26 +413,28 @@ def rerandomize_proof_1(proof: Proof, old_v: Fp, new_v: Fp,
         d=(proof.d + vk.eta_gamma_inv_g1 * int(new_v - old_v)).normalize())
 
 
-def prepare_inputs(vk: VerifyingKey, public_inputs) -> Point:
+def prepare_inputs(vk: VerifyingKey, public_inputs, ctx=bls) -> Point:
+    F = ctx.Fr
     inp = [F(1)] + [F(int(x)) for x in public_inputs]
     if len(inp) > vk.num_public_inputs:
         raise LegoGroth16Error("too many public inputs")
     return msm_host(vk.gamma_abc_g1[:len(inp)], inp)
 
 
-def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs) -> bool:
+def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs,
+                 ctx=bls) -> bool:
     """3-pairing check (`verifier.rs:64-110`)."""
     vk = pvk.vk
-    d = (prepare_inputs(vk, public_inputs) + proof.d).normalize()
+    d = (prepare_inputs(vk, public_inputs, ctx) + proof.d).normalize()
     neg_delta = (-vk.delta_g2).normalize()
     neg_gamma = (-vk.gamma_g2).normalize()
-    lhs = bls.multi_pairing([
+    lhs = ctx.multi_pairing([
         (proof.a, proof.b), (proof.c, neg_delta), (d, neg_gamma)])
     return lhs == pvk.alpha_beta
 
 
 def verify_commitment(vk: VerifyingKey, proof: Proof, public_inputs,
-                      committed_witnesses, v: Fp) -> bool:
+                      committed_witnesses, v: Fp, ctx=bls) -> bool:
     """Open D: D == sum gamma_abc[committed]*w_i + v*eta/gamma
     (`verifier.rs` verify_commitment / `prover.rs` D construction)."""
     n_pub = vk.num_public_inputs

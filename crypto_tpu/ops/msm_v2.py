@@ -230,14 +230,43 @@ class DeviceMSM:
         self.F = jc.F
         self._jits = {}
 
-    def window_program(self, N: int, c: int, PAD: int):
-        key = (N, c, PAD)
+    def window_program(self, N: int, c: int, PAD: int, rounds: int = 1):
+        key = (N, c, PAD, rounds)
         if key in self._jits:
             return self._jits[key]
         B = 1 << (c - 1)
         F = self.F
+        bucket_sums = self.bucket_sums_fn(c, PAD, rounds)
+        tail = self.tail_fn(c)
 
         def full(dw, x, y, inf):
+            P, maxc = bucket_sums(dw, x, y, inf)
+            ox, oy, oinf = tail(P.x, P.y, P.inf)
+            return ox, oy, oinf, maxc
+
+        # On CPU (tests) run eagerly: each field op dispatches its own small
+        # cached jit instead of one mega-graph whose XLA:CPU compile takes
+        # minutes.  On TPU the fused program amortizes the remote dispatch.
+        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        self._jits[key] = prog
+        return prog
+
+    def bucket_sums_fn(self, c: int, PAD: int, rounds: int = 1):
+        """dw (N,), x/y (N, unit), inf (N,) -> (AffinePoints (B,), max
+        occupancy): digit-bucket layout + batched-affine halving reduction.
+
+        `rounds`: buckets can hold up to rounds*PAD entries — each round
+        lays out ranks [r*PAD, (r+1)*PAD) and accumulates into a running
+        bucket vector.  rounds == 1 for uniform scalars; skewed digit
+        distributions (structured/adversarial scalars) get more rounds
+        instead of a memory-exploding PAD.
+
+        This is the shardable stage: data-parallel over points, combined
+        across shards by adding bucket vectors."""
+        B = 1 << (c - 1)
+        F = self.F
+
+        def bucket_sums(dw, x, y, inf):
             absd = jnp.abs(dw)
             live = (absd > 0) & (~inf)
             keys = jnp.where(live, absd - 1, B).astype(jnp.int32)
@@ -249,40 +278,45 @@ class DeviceMSM:
             maxc = jnp.max(counts)
             bgrid = jnp.repeat(jnp.arange(B, dtype=jnp.int32), PAD)
             rgrid = jnp.tile(jnp.arange(PAD, dtype=jnp.int32), B)
-            pos = starts[bgrid] + rgrid
-            valid = rgrid < counts[bgrid]
-            srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
-            sx = x[srcp]
-            sy = y[srcp]
-            sgn = dw[srcp]
-            sy = F.select((sgn < 0) & valid, F.neg(sy), sy)
-            P = AffinePoints(sx, sy, ~valid)
-            while P.x.shape[0] > B:
-                P = affine_halve(F, P)
+            acc = None
+            for r in range(rounds):
+                rank = r * PAD + rgrid
+                pos = starts[bgrid] + rank
+                valid = rank < counts[bgrid]
+                srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
+                sx = x[srcp]
+                sy = y[srcp]
+                sgn = dw[srcp]
+                sy = F.select((sgn < 0) & valid, F.neg(sy), sy)
+                P = AffinePoints(sx, sy, ~valid)
+                while P.x.shape[0] > B:
+                    P = affine_halve(F, P)
+                acc = P if acc is None else affine_pair_add(F, acc, P)
+            return acc, maxc
 
-            # two-axis weighted tail: bucket value v = b+1 where b = q*C + c
-            # (row-major; weight = q*C + c + 1).
-            #   sum_b (b+1) P_b = C * sum_q q * Sq[q]  +  sum_c (c+1) * Tc[c]
-            #   with Sq[q] = sum_c P[q,:], Tc[c] = sum_q P[:,c]
+        return bucket_sums
+
+    def tail_fn(self, c: int):
+        """Bucket sums (B,) -> window point, via the two-axis weighted
+        reduction: bucket b (0-based) has weight b+1 = q*C + c + 1 with
+        b = q*C + c, so  sum = C * sum_q q*Sq[q] + sum_c (c+1)*Tc[c]."""
+        B = 1 << (c - 1)
+        F = self.F
+
+        def tail(px, py, pinf):
             logB = B.bit_length() - 1
             logC = (logB + 1) // 2
             C = 1 << logC
             R = B // C
             ush = tuple(F.unit_shape)
-            gx = P.x.reshape((R, C) + ush)
-            gy = P.y.reshape((R, C) + ush)
-            gi = P.inf.reshape(R, C)
-            # row sums Sq: reduce axis 1 -> treat as batched: transpose to
-            # (C, R) then tree-reduce leading axis pairs of rows?  Use the
-            # weighted-sum helper's internal pattern: reduce axis 0 of the
-            # transposed grid.
+            gx = px.reshape((R, C) + ush)
+            gy = py.reshape((R, C) + ush)
+            gi = pinf.reshape(R, C)
             Tx = gx.swapaxes(0, 1)      # (C, R, unit)
             Ty = gy.swapaxes(0, 1)
             Ti = gi.swapaxes(0, 1)
             Sq = _reduce_axis0(F, AffinePoints(Tx, Ty, Ti))   # over C -> (R,)
             Tc = _reduce_axis0(F, AffinePoints(gx, gy, gi))   # over R -> (C,)
-            # weights: Sq[q] gets q*C; express q*C * Sq[q] = C * (q * Sq[q]);
-            # sum_q q*Sq[q] = weighted_sum(Sq with weight q+1) - sum_q Sq[q]
             wq = affine_weighted_sum(F, Sq)                   # sum (q+1) Sq_q
             tq = affine_tree_sum(F, Sq)                       # sum Sq_q
             neg_tq = AffinePoints(tq.x, F.neg(tq.y), tq.inf)
@@ -291,14 +325,9 @@ class DeviceMSM:
                 qpart = affine_pair_add(F, qpart, qpart)      # * C
             cpart = affine_weighted_sum(F, Tc)                # sum (c+1) Tc_c
             out = affine_pair_add(F, qpart, cpart)
-            return out.x[0], out.y[0], out.inf[0], maxc
+            return out.x[0], out.y[0], out.inf[0]
 
-        # On CPU (tests) run eagerly: each field op dispatches its own small
-        # cached jit instead of one mega-graph whose XLA:CPU compile takes
-        # minutes.  On TPU the fused program amortizes the remote dispatch.
-        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
-        self._jits[key] = prog
-        return prog
+        return tail
 
 
 def _reduce_axis0(F, P: AffinePoints) -> AffinePoints:
@@ -360,15 +389,22 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
 
     inf_mask = jc.is_infinity(points)
 
+    PAD_MAX = 512
     if pad is None:
-        maxc = int(jax.device_get(
-            _global_max_occupancy(digits, inf_mask, 1 << (c - 1))))
-        maxc = max(maxc, 1)
-        pad = 1 << (maxc - 1).bit_length()
-
-    prog = engine.window_program(N, c, pad)
+        occs = np.asarray(jax.device_get(
+            _window_occupancies(digits, inf_mask, 1 << (c - 1))))
+        occs = np.maximum(occs, 1)
+    else:
+        occs = np.full((W,), pad, dtype=np.int64)
     outs = []
     for w in range(W):
+        occ = int(occs[w])
+        pad_w = 1 << (occ - 1).bit_length()
+        rounds = 1
+        if pad_w > PAD_MAX:
+            pad_w = PAD_MAX
+            rounds = (occ + PAD_MAX - 1) // PAD_MAX
+        prog = engine.window_program(N, c, pad_w, rounds)
         ox, oy, oinf, maxcw = prog(digits[w], points.X, points.Y, inf_mask)
         outs.append((ox, oy, oinf))
 
@@ -389,14 +425,19 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _global_max_occupancy(digits, inf_mask, B):
+def _window_occupancies(digits, inf_mask, B):
+    """(W,) per-window max bucket occupancy."""
     absd = jnp.abs(digits)
     live = (absd > 0) & (~inf_mask)[None, :]
     keys = jnp.where(live, absd - 1, B)
-    m = jnp.zeros((), jnp.int32)
+    out = []
     for w in range(digits.shape[0]):
         sk = jnp.sort(keys[w])
         starts = jnp.searchsorted(sk, jnp.arange(B, dtype=jnp.int32))
         ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
-        m = jnp.maximum(m, jnp.max(ends - starts).astype(jnp.int32))
-    return m
+        out.append(jnp.max(ends - starts).astype(jnp.int32))
+    return jnp.stack(out)
+
+
+def _global_max_occupancy(digits, inf_mask, B):
+    return jnp.max(_window_occupancies(digits, inf_mask, B))

@@ -1,0 +1,141 @@
+"""SPMD-sharded device-scheduled MSM (v2 engine) over a device mesh.
+
+Data-parallel Pippenger (SURVEY.md §2.4): points and digits are sharded
+along the batch axis; each chip runs the digit-bucket layout + batched-
+affine reduction on its shard (`ops/msm_v2.bucket_sums_fn`), then the B
+per-bucket partial sums are combined across chips with one `all_gather`
+over ICI (B points, KBs — communication independent of N) followed by a
+log-depth affine tree add, and the weighted tail runs replicated.
+
+Communication: one all_gather of (ndev, B) affine points per window; the
+per-chip compute is ~(N/ndev) * 7 muls, so scaling efficiency approaches
+compute/(compute + B*log(ndev) adds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.sw import SWCurve, Point
+from ..curves.jcurve import JCurve, JPoints, jcurve_for
+from ..ops.msm_v2 import (DeviceMSM, AffinePoints, _engine_for,
+                          affine_pair_add, device_digits, scalars_to_bytes,
+                          _global_max_occupancy)
+
+
+def make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
+                             axis: str = "data"):
+    """Jitted sharded step: (digits (N,), x (N,u), y (N,u), inf (N,)) ->
+    combined bucket sums (B,) (replicated).  The tiny weighted tail runs
+    OUTSIDE the SPMD program (it is O(B) work and would dominate the
+    shard_map compile)."""
+    engine = _engine_for(jc)
+    bucket_sums = engine.bucket_sums_fn(c, PAD)
+    F = jc.F
+
+    def step(dw, x, y, inf):
+        def local(dw_s, x_s, y_s, inf_s):
+            Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
+            return Ploc.x, Ploc.y, Ploc.inf
+
+        # NOTE: no collective inside the SPMD program — per-device bucket
+        # vectors come back sharded along the batch axis and the log-depth
+        # combine + tail run on the replicated output.  (An in-program
+        # all_gather deadlocks XLA:CPU's 40 s rendezvous when 8 virtual
+        # devices time-share the host cores; on real ICI the outside-SPMD
+        # combine lowers to the same gather.)
+        kwargs = dict(mesh=mesh,
+                      in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis), P(axis)))
+        try:
+            sm = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:   # older JAX spelling
+            sm = shard_map(local, check_rep=False, **kwargs)
+        return sm(dw, x, y, inf)
+
+    return jax.jit(step)
+
+
+def combine_bucket_shards(F, gx, gy, gi, ndev: int):
+    """(ndev*B, unit) sharded bucket vectors -> (B,) combined, log depth."""
+    B = gx.shape[0] // ndev
+    gx = gx.reshape((ndev, B) + gx.shape[1:])
+    gy = gy.reshape((ndev, B) + gy.shape[1:])
+    gi = gi.reshape(ndev, B)
+    n = ndev
+    while n > 1:
+        half = n // 2
+        A = AffinePoints(gx[:half].reshape((-1,) + gx.shape[2:]),
+                         gy[:half].reshape((-1,) + gy.shape[2:]),
+                         gi[:half].reshape(-1))
+        Bp = AffinePoints(gx[half:n].reshape((-1,) + gx.shape[2:]),
+                          gy[half:n].reshape((-1,) + gy.shape[2:]),
+                          gi[half:n].reshape(-1))
+        S = affine_pair_add(F, A, Bp)
+        gx = S.x.reshape((half, B) + S.x.shape[1:])
+        gy = S.y.reshape((half, B) + S.y.shape[1:])
+        gi = S.inf.reshape(half, B)
+        n = half
+    return gx[0], gy[0], gi[0]
+
+
+def msm_sharded_v2(curve: SWCurve, points, scalars, mesh: Mesh,
+                   c: int = 16, nbits: int | None = None,
+                   pad: int | None = None, axis: str = "data") -> Point:
+    """Full sharded MSM; N must divide by the mesh size."""
+    jc = jcurve_for(curve)
+    F = jc.F
+    if nbits is None:
+        nbits = curve.scalar_field.bits
+    if not isinstance(points, JPoints):
+        points = jc.pack_points([p.normalize() for p in points])
+    n = points.X.shape[0]
+    ndev = mesh.devices.size
+    assert n % ndev == 0, "pad N to a multiple of the mesh size"
+
+    if isinstance(scalars, jnp.ndarray) and scalars.ndim == 2:
+        digits = scalars
+    else:
+        W_ = (nbits + c) // c
+        nbytes = (W_ * c + 7) // 8
+        sbytes = scalars_to_bytes([int(s) for s in scalars], nbytes)
+        digits = device_digits(jnp.asarray(sbytes), c, nbits)
+    W = digits.shape[0]
+    inf_mask = jc.is_infinity(points)
+
+    if pad is None:
+        # per-shard occupancy <= global occupancy; a shard sees N/ndev
+        # points so size the pad from per-shard worst case (recompute on
+        # the shard sizes by capping with the global max)
+        maxc = int(jax.device_get(
+            _global_max_occupancy(digits, inf_mask, 1 << (c - 1))))
+        maxc = max(maxc, 1)
+        pad = 1 << (maxc - 1).bit_length()
+
+    step = make_sharded_window_step(jc, mesh, c, pad, axis)
+    engine = _engine_for(jc)
+    tail = engine.tail_fn(c)
+    outs = []
+    for w in range(W):
+        gx, gy, gi = step(digits[w], points.X, points.Y, inf_mask)
+        bx, by, binf = combine_bucket_shards(F, gx, gy, gi, ndev)
+        outs.append(tail(bx, by, binf))   # O(B) tail outside the SPMD program
+
+    xs = jnp.stack([o[0] for o in outs])
+    ys = jnp.stack([o[1] for o in outs])
+    infs = jnp.stack([o[2] for o in outs])
+    hx = np.atleast_1d(F.unpack_host(xs))
+    hy = np.atleast_1d(F.unpack_host(ys))
+    hinf = np.asarray(jax.device_get(infs))
+    K = curve.K
+    acc = curve.infinity()
+    for w in range(W - 1, -1, -1):
+        for _ in range(c):
+            acc = acc.double()
+        if not bool(hinf[w]):
+            acc = acc + Point(hx[w], hy[w], K.one(), curve)
+    return acc
