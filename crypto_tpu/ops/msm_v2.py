@@ -155,15 +155,14 @@ def affine_pair_add(F, P: AffinePoints, Q: AffinePoints) -> AffinePoints:
 
 
 def affine_halve(F, P: AffinePoints) -> AffinePoints:
-    """One halving level: add adjacent pairs along the leading axis."""
+    """One halving level: add element k to element k + n/2 (half-split
+    pairing).  With the RANK-MAJOR bucket layout (slot = rank*B + bucket)
+    the two halves hold the same bucket sequence, so half-split pairs are
+    same-bucket AND contiguous — no strided relayouts on TPU."""
     n = P.x.shape[0]
     half = n // 2
-    u = F.unit_ndim
-    xs = P.x.reshape((half, 2) + P.x.shape[1:])
-    ys = P.y.reshape((half, 2) + P.y.shape[1:])
-    infs = P.inf.reshape((half, 2) + P.inf.shape[1:])
-    A = AffinePoints(xs[:, 0], ys[:, 0], infs[:, 0])
-    B = AffinePoints(xs[:, 1], ys[:, 1], infs[:, 1])
+    A = AffinePoints(P.x[:half], P.y[:half], P.inf[:half])
+    B = AffinePoints(P.x[half:], P.y[half:], P.inf[half:])
     return affine_pair_add(F, A, B)
 
 
@@ -222,6 +221,46 @@ def affine_weighted_sum(F, P: AffinePoints) -> AffinePoints:
 # engine
 # ---------------------------------------------------------------------------
 
+def batch_inv_t(F, v: jnp.ndarray, mulT) -> jnp.ndarray:
+    """Transposed-layout batch inversion: v (L, n) nonzero -> elementwise
+    inverses, via the half-split product tree (3 muls/elem amortized) with
+    every mul running the fused Pallas Montgomery kernel (`mulT`)."""
+    L, n = v.shape
+
+    def pad_to_block(a):
+        b = a.shape[1]
+        pad = (-b) % 512
+        if pad == 0:
+            return a, b
+        onev = jnp.zeros((L, pad), jnp.int32).at[0, :].set(1)
+        return jnp.concatenate([a, onev], axis=1), b
+
+    def mul(a, b):
+        m = a.shape[1]
+        ap, _ = pad_to_block(a)
+        bp, _ = pad_to_block(b)
+        return mulT(ap, bp)[:, :m]
+
+    if n == 1:
+        return F.inv(v.T).T
+    levels = [v]
+    cur = v
+    while cur.shape[1] > 1:
+        h = cur.shape[1] // 2
+        cur = mul(cur[:, :h], cur[:, h:])
+        levels.append(cur)
+    root_inv = F.inv(cur.T).T                    # (L, 1)
+    inv = root_inv
+    for lev in reversed(levels[:-1]):
+        h = lev.shape[1] // 2
+        lo = lev[:, :h]
+        hi = lev[:, h:]
+        inv_lo = mul(inv, hi)
+        inv_hi = mul(inv, lo)
+        inv = jnp.concatenate([inv_lo, inv_hi], axis=1)
+    return inv
+
+
 class DeviceMSM:
     """Per-curve jit cache for the window program."""
 
@@ -276,8 +315,11 @@ class DeviceMSM:
             ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
             counts = (ends - starts).astype(jnp.int32)
             maxc = jnp.max(counts)
-            bgrid = jnp.repeat(jnp.arange(B, dtype=jnp.int32), PAD)
-            rgrid = jnp.tile(jnp.arange(PAD, dtype=jnp.int32), B)
+            # RANK-MAJOR layout: slot = rank*B + bucket, so the half-split
+            # pairing of `affine_halve` always pairs same-bucket entries
+            # with zero relayout, and the final level is bucket-ordered.
+            bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
+            rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
             acc = None
             for r in range(rounds):
                 rank = r * PAD + rgrid
@@ -294,14 +336,141 @@ class DeviceMSM:
                 acc = P if acc is None else affine_pair_add(F, acc, P)
             return acc, maxc
 
+        if jax.default_backend() != "tpu" or F.unit_ndim != 1:
+            return bucket_sums
+        return self._bucket_sums_tpu(c, PAD, rounds)
+
+    def _bucket_sums_tpu(self, c: int, PAD: int, rounds: int):
+        """TPU variant: the halving levels run as fused Pallas kernels in
+        transposed (L, M) layout; the rank-major half-split pairing keeps
+        every level a contiguous slab (no strided relayouts)."""
+        B = 1 << (c - 1)
+        F = self.F
+        L = F.L
+        from .pallas.curve_kernels import affine_kernels_for
+        from .pallas.field_kernels import mont_mul_t_fn
+        pre, post = affine_kernels_for(L, F.p, F.field.Ninv_R)
+        mulT = mont_mul_t_fn(L, F.p, F.field.Ninv_R)
+
+        BLK = 2048
+
+        def halve_t(xT, yT, mT):
+            h = xT.shape[1] // 2
+            x1, x2 = xT[:, :h], xT[:, h:]
+            y1, y2 = yT[:, :h], yT[:, h:]
+            m1, m2 = mT[:, :h], mT[:, h:]
+            pad = (-h) % BLK
+            if pad:
+                zL = jnp.zeros((L, pad), jnp.int32)
+                z1 = jnp.ones((1, pad), jnp.int32)
+                x1 = jnp.concatenate([x1, zL], axis=1)
+                x2 = jnp.concatenate([x2, zL], axis=1)
+                y1 = jnp.concatenate([y1, zL], axis=1)
+                y2 = jnp.concatenate([y2, zL], axis=1)
+                m1 = jnp.concatenate([m1, z1], axis=1)   # dead lanes
+                m2 = jnp.concatenate([m2, z1], axis=1)
+            d, dbl, inf3 = pre(x1, y1, m1, x2, y2, m2)
+            dinv = batch_inv_t(F, d, mulT)
+            x3, y3 = post(x1, y1, x2, y2, dinv, dbl, m1, m2)
+            if pad:
+                x3 = x3[:, :h]
+                y3 = y3[:, :h]
+                inf3 = inf3[:, :h]
+            return x3, y3, inf3
+
+        def bucket_sums(dw, x, y, inf):
+            absd = jnp.abs(dw)
+            live = (absd > 0) & (~inf)
+            keys = jnp.where(live, absd - 1, B).astype(jnp.int32)
+            order = jnp.argsort(keys, stable=True)
+            sk = keys[order]
+            starts = jnp.searchsorted(sk, jnp.arange(B, dtype=jnp.int32))
+            ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
+            counts = (ends - starts).astype(jnp.int32)
+            maxc = jnp.max(counts)
+            bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
+            rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
+            accx = accy = accm = None
+            for r in range(rounds):
+                rank = r * PAD + rgrid
+                pos = starts[bgrid] + rank
+                valid = rank < counts[bgrid]
+                srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
+                sx = x[srcp]
+                sy = y[srcp]
+                sgn = dw[srcp]
+                sy = F.select((sgn < 0) & valid, F.neg(sy), sy)
+                xT = sx.T
+                yT = sy.T
+                mT = (~valid).astype(jnp.int32)[None, :]
+                while xT.shape[1] > B:
+                    xT, yT, mT = halve_t(xT, yT, mT)
+                if accx is None:
+                    accx, accy, accm = xT, yT, mT
+                else:
+                    accx, accy, accm = halve_t(
+                        jnp.concatenate([accx, xT], axis=1),
+                        jnp.concatenate([accy, yT], axis=1),
+                        jnp.concatenate([accm, mT], axis=1))
+            return AffinePoints(accx.T, accy.T, accm[0] > 0), maxc
+
         return bucket_sums
 
     def tail_fn(self, c: int):
         """Bucket sums (B,) -> window point, via the two-axis weighted
         reduction: bucket b (0-based) has weight b+1 = q*C + c + 1 with
-        b = q*C + c, so  sum = C * sum_q q*Sq[q] + sum_c (c+1)*Tc[c]."""
+        b = q*C + c, so  sum = C * sum_q q*Sq[q] + sum_c (c+1)*Tc[c].
+
+        Runs in JACOBIAN coordinates (total select-based `jc.add`): the tail
+        is O(B) work but its Horner/doubling chains are sequential, and the
+        batched-affine form would pay a ~380-mul Fermat inversion per
+        sequential step (measured 560 ms/window vs ~50 ms Jacobian)."""
         B = 1 << (c - 1)
         F = self.F
+        jc = self.jc
+
+        def to_jac(px, py, pinf):
+            one = F.ones(())
+            z = F.select(pinf, F.zeros(pinf.shape),
+                         jnp.broadcast_to(one, px.shape).astype(px.dtype))
+            return JPoints(px, py, z)
+
+        def tree_sum(p: JPoints, axis_len: int):
+            while axis_len > 1:
+                half = axis_len // 2
+                a = JPoints(p.X[:half], p.Y[:half], p.Z[:half])
+                b = JPoints(p.X[half:axis_len], p.Y[half:axis_len],
+                            p.Z[half:axis_len])
+                p = jc.add(a, b)
+                axis_len = half
+            return JPoints(p.X[0], p.Y[0], p.Z[0])
+
+        def weighted_sum_shift1(points: JPoints, n: int):
+            """sum_i (i+1) * P_i via bit-decomposition masked tree sums."""
+            nbits = n.bit_length()
+            idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+            masks = ((idx[None, :] >> jnp.arange(nbits, dtype=jnp.int32)[:, None]) & 1) > 0
+            inf = jc.infinity((nbits, n))
+            stacked = JPoints(
+                jnp.broadcast_to(points.X[None], (nbits,) + points.X.shape),
+                jnp.broadcast_to(points.Y[None], (nbits,) + points.Y.shape),
+                jnp.broadcast_to(points.Z[None], (nbits,) + points.Z.shape))
+            p = jc.select(masks, stacked, inf)
+            m = n
+            while m > 1:
+                half = m // 2
+                a = JPoints(p.X[:, :half], p.Y[:, :half], p.Z[:, :half])
+                b = JPoints(p.X[:, half:m], p.Y[:, half:m], p.Z[:, half:m])
+                p = jc.add(a, b)
+                m = half
+            bitsums = JPoints(p.X[:, 0], p.Y[:, 0], p.Z[:, 0])
+            acc = JPoints(bitsums.X[nbits - 1], bitsums.Y[nbits - 1],
+                          bitsums.Z[nbits - 1])
+            for bpos in range(nbits - 2, -1, -1):
+                acc = jc.double(acc)
+                acc = jc.add(acc, JPoints(bitsums.X[bpos], bitsums.Y[bpos],
+                                          bitsums.Z[bpos]))
+            return acc
 
         def tail(px, py, pinf):
             logB = B.bit_length() - 1
@@ -309,25 +478,39 @@ class DeviceMSM:
             C = 1 << logC
             R = B // C
             ush = tuple(F.unit_shape)
-            gx = px.reshape((R, C) + ush)
-            gy = py.reshape((R, C) + ush)
-            gi = pinf.reshape(R, C)
-            Tx = gx.swapaxes(0, 1)      # (C, R, unit)
-            Ty = gy.swapaxes(0, 1)
-            Ti = gi.swapaxes(0, 1)
-            Sq = _reduce_axis0(F, AffinePoints(Tx, Ty, Ti))   # over C -> (R,)
-            Tc = _reduce_axis0(F, AffinePoints(gx, gy, gi))   # over R -> (C,)
-            wq = affine_weighted_sum(F, Sq)                   # sum (q+1) Sq_q
-            tq = affine_tree_sum(F, Sq)                       # sum Sq_q
-            neg_tq = AffinePoints(tq.x, F.neg(tq.y), tq.inf)
-            qpart = affine_pair_add(F, wq, neg_tq)            # sum q Sq_q
+            P = to_jac(px, py, pinf)
+            grid = JPoints(P.X.reshape((R, C) + ush),
+                           P.Y.reshape((R, C) + ush),
+                           P.Z.reshape((R, C) + ush))
+            Tstack = JPoints(grid.X.swapaxes(0, 1), grid.Y.swapaxes(0, 1),
+                             grid.Z.swapaxes(0, 1))
+            # Sq[q] = sum_c grid[q,:] ; Tc[c] = sum_q grid[:,c]
+            Sq = _jac_reduce_axis0(jc, Tstack)    # over C -> (R,)
+            Tc = _jac_reduce_axis0(jc, grid)      # over R -> (C,)
+            wq = weighted_sum_shift1(Sq, R)       # sum (q+1) Sq_q
+            tq = tree_sum(Sq, R)                  # sum Sq_q
+            qpart = jc.add(wq, jc.neg(tq))        # sum q Sq_q
             for _ in range(logC):
-                qpart = affine_pair_add(F, qpart, qpart)      # * C
-            cpart = affine_weighted_sum(F, Tc)                # sum (c+1) Tc_c
-            out = affine_pair_add(F, qpart, cpart)
-            return out.x[0], out.y[0], out.inf[0]
+                qpart = jc.double(qpart)          # * C
+            cpart = weighted_sum_shift1(Tc, C)    # sum (c+1) Tc_c
+            out = jc.add(qpart, cpart)
+            inf_out = jc.is_infinity(out)
+            aff = jc.to_affine(out)
+            return aff.X, aff.Y, inf_out
 
         return tail
+
+
+def _jac_reduce_axis0(jc, P: JPoints) -> JPoints:
+    """Tree-reduce the leading axis of a 2-D Jacobian batch -> (m,)."""
+    n = P.X.shape[0]
+    while n > 1:
+        half = n // 2
+        a = JPoints(P.X[:half], P.Y[:half], P.Z[:half])
+        b = JPoints(P.X[half:n], P.Y[half:n], P.Z[half:n])
+        P = jc.add(a, b)
+        n = half
+    return JPoints(P.X[0], P.Y[0], P.Z[0])
 
 
 def _reduce_axis0(F, P: AffinePoints) -> AffinePoints:
@@ -389,7 +572,10 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
 
     inf_mask = jc.is_infinity(points)
 
-    PAD_MAX = 512
+    # B*PAD layout rows live in HBM with ~4x temporaries during the first
+    # halving level; PAD_MAX=64 keeps the 2^20/c=16 working set ~2 GB
+    # (PAD=128 peaked at 21 GB > 16 GB HBM on v5e)
+    PAD_MAX = 64
     if pad is None:
         occs = np.asarray(jax.device_get(
             _window_occupancies(digits, inf_mask, 1 << (c - 1))))

@@ -402,6 +402,112 @@ def make_normalize_fn(jc: JCurve, block_b: int = DEFAULT_BLOCK):
     return jax.jit(norm)
 
 
+# ---------------------------------------------------------------------------
+# fused batched-affine reduction kernels (for ops/msm_v2.py)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def affine_kernels_for(L: int, p_int: int, ninv_int: int,
+                       block_b: int = DEFAULT_BLOCK):
+    """Two fused kernels for one batched-affine halving level (transposed
+    (L, B) layout, masks as (1, B) int32):
+
+      pre(x1, y1, m1, x2, y2, m2) -> (d, dbl, inf3)
+          d = 2*y1 (doubling) or x2-x1, with 1 in dead lanes (ready for the
+          batch-inversion tree); dbl/inf3 case masks.
+      post(x1, y1, x2, y2, dinv, dbl, m1, m2) -> (x3, y3)
+          the unified affine add/double given the inverted denominators
+          (4 muls + selects, all in VMEM).
+    """
+    F = FieldCtx(L, p_int, ninv_int)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+
+    def io_spec(rows, blk):
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    one_mont_col = None  # computed from constants inside the kernel
+
+    def pre_kernel(x1, y1, m1, x2, y2, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:5])))
+        od, odbl, oinf = rest[5], rest[6], rest[7]
+        X1, Y1, X2, Y2 = x1[:], y1[:], x2[:], y2[:]
+        i1 = m1[:] > 0
+        i2 = m2[:] > 0
+        same_x = jnp.all(X1 == X2, axis=0, keepdims=True)
+        y2n = F.neg(c, Y2)
+        y_opp = jnp.all(Y1 == y2n, axis=0, keepdims=True)
+        both = (~i1) & (~i2)
+        is_dbl = same_x & (~y_opp) & both
+        is_inf3 = (same_x & y_opp & both) | (i1 & i2)
+        dead = (~both) | is_inf3
+        d = jnp.where(is_dbl, F.dbl(c, Y1), F.sub(c, X2, X1))
+        # Montgomery one = R mod p: derive from p_ext? cheaper: pass via
+        # iota-free constant — use (1 - d)*mask trick instead: dead lanes
+        # get value 1 (plain 1 works for inversion validity: inv(1)=1 in
+        # Montgomery domain iff input is R... any NONZERO value works since
+        # the result is discarded; use limb0=1)
+        onev = jnp.concatenate(
+            [jnp.ones((1, d.shape[1]), jnp.int32),
+             jnp.zeros((d.shape[0] - 1, d.shape[1]), jnp.int32)], axis=0)
+        zero_d = jnp.all(d == 0, axis=0, keepdims=True)
+        d = jnp.where(dead | zero_d, onev, d)
+        od[:] = d
+        odbl[:] = is_dbl.astype(jnp.int32)
+        oinf[:] = is_inf3.astype(jnp.int32)
+
+    def post_kernel(x1, y1, x2, y2, dinv, mdbl, m1, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:5])))
+        ox, oy = rest[5], rest[6]
+        X1, Y1, X2, Y2, DI = x1[:], y1[:], x2[:], y2[:], dinv[:]
+        is_dbl = mdbl[:] > 0
+        i1 = m1[:] > 0
+        i2 = m2[:] > 0
+        x1sq = F.square(c, X1)
+        num = jnp.where(is_dbl, F.add(c, F.dbl(c, x1sq), x1sq),
+                        F.sub(c, Y2, Y1))
+        lam = F.mul(c, num, DI)
+        x3 = F.sub(c, F.sub(c, F.square(c, lam), X1), X2)
+        y3 = F.sub(c, F.mul(c, lam, F.sub(c, X1, x3)), Y1)
+        x3 = jnp.where(i1, X2, jnp.where(i2 & (~i1), X1, x3))
+        y3 = jnp.where(i1, Y2, jnp.where(i2 & (~i1), Y1, y3))
+        ox[:] = x3
+        oy[:] = y3
+
+    def call_pre(x1, y1, m1, x2, y2, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            pre_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(L, block_b), io_spec(L, block_b),
+                      io_spec(1, block_b), io_spec(L, block_b),
+                      io_spec(L, block_b), io_spec(1, block_b)] + const_specs,
+            out_specs=(io_spec(L, block_b), io_spec(1, block_b),
+                       io_spec(1, block_b)),
+        )(x1, y1, m1, x2, y2, m2, *consts)
+
+    def call_post(x1, y1, x2, y2, dinv, mdbl, m1, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            post_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(L, block_b)] * 5
+            + [io_spec(1, block_b)] * 3 + const_specs,
+            out_specs=(io_spec(L, block_b), io_spec(L, block_b)),
+        )(x1, y1, x2, y2, dinv, mdbl, m1, m2, *consts)
+
+    return call_pre, call_post
+
+
 def _pad_t(x, block_b, fill=0):
     B = x.shape[1]
     pad = (-B) % block_b

@@ -122,6 +122,12 @@ def msm_sharded_v2(curve: SWCurve, points, scalars, mesh: Mesh,
     outs = []
     for w in range(W):
         gx, gy, gi = step(digits[w], points.X, points.Y, inf_mask)
+        # materialize the (ndev*B) bucket vectors on the default device:
+        # eager ops on still-sharded arrays would otherwise lower to
+        # cross-device collectives outside any mesh program
+        gx = jnp.asarray(jax.device_get(gx))
+        gy = jnp.asarray(jax.device_get(gy))
+        gi = jnp.asarray(jax.device_get(gi))
         bx, by, binf = combine_bucket_shards(F, gx, gy, gi, ndev)
         outs.append(tail(bx, by, binf))   # O(B) tail outside the SPMD program
 

@@ -34,6 +34,7 @@ def test_multi_pairing_matches_host(jp):
     assert jp.multi_pairing(pairs) == bls.multi_pairing(pairs)
 
 
+@pytest.mark.slow
 def test_bilinearity_on_device(jp):
     p = bls.G1.generator()
     q = bls.G2.generator()
