@@ -41,7 +41,8 @@ def main() -> None:
 
     from crypto_tpu.curves import bls12_381 as bls
     from crypto_tpu.curves.jcurve import jcurve_for
-    from crypto_tpu.ops.pippenger import msm_pippenger
+    from crypto_tpu.ops.msm_v2 import msm_device_scheduled
+    from crypto_tpu.ops.pippenger import scalars_to_bytes
 
     rng = np.random.default_rng(0)
     jc = jcurve_for(bls.G1)
@@ -91,14 +92,14 @@ def main() -> None:
                 | (int(w3) << 189)) % bls.R
                for (w0, w1, w2, w3) in words]
 
-    # warmup (compile); host-scheduled Pippenger + fused Pallas point kernels
-    inf_mask = np.zeros(n, dtype=bool)
-    msm_pippenger(bls.G1, points, scalars, inf_mask=inf_mask,
-                  points_affine=True)
+    # engine: device-scheduled batched-affine Pippenger (ops/msm_v2.py) —
+    # digits, bucket layout and all reductions on device; scalars ship once
+    # as packed LE bytes.  Warmup compiles; measured run is steady-state.
+    sbytes = scalars_to_bytes(scalars, 32)
+    msm_device_scheduled(bls.G1, points, sbytes)
 
     t0 = time.time()
-    result = msm_pippenger(bls.G1, points, scalars, inf_mask=inf_mask,
-                  points_affine=True)
+    result = msm_device_scheduled(bls.G1, points, sbytes)
     dt = time.time() - t0
     del result
 

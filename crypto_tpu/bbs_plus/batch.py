@@ -37,9 +37,10 @@ DEVICE_MSM_THRESHOLD = 256
 
 def _msm(points, scalars):
     if len(points) >= DEVICE_MSM_THRESHOLD:
-        from ..ops.pippenger import msm_pippenger
-        return msm_pippenger(points[0].curve, [p.normalize() for p in points],
-                             [int(s) for s in scalars])
+        from ..ops.msm_v2 import msm_device_scheduled
+        return msm_device_scheduled(points[0].curve,
+                                    [p.normalize() for p in points],
+                                    [int(s) for s in scalars])
     return msm_host(points, scalars)
 
 

@@ -51,10 +51,10 @@ class LegoGroth16Error(Exception):
 
 def _msm(points, scalars):
     if len(points) >= DEVICE_MSM_THRESHOLD:
-        from ..ops.pippenger import msm_pippenger
-        return msm_pippenger(points[0].curve,
-                             [p.normalize() for p in points],
-                             [int(s) for s in scalars])
+        from ..ops.msm_v2 import msm_device_scheduled
+        return msm_device_scheduled(points[0].curve,
+                                    [p.normalize() for p in points],
+                                    [int(s) for s in scalars])
     return msm_host(points, scalars)
 
 
@@ -70,7 +70,7 @@ def _msm_query(pk: "ProvingKey", name: str, scalars, offset: int = 0):
         return bls.G1.infinity()
     if k < DEVICE_MSM_THRESHOLD:
         return msm_host(points, scalars)
-    from ..ops.pippenger import msm_pippenger
+    from ..ops.msm_v2 import msm_device_scheduled
     from ..curves.jcurve import JPoints, jcurve_for
     cache = pk.device_cache
     entry = cache.get(name)
@@ -88,9 +88,8 @@ def _msm_query(pk: "ProvingKey", name: str, scalars, offset: int = 0):
                          packed.Y[offset:offset + k],
                          packed.Z[offset:offset + k])
         inf_mask = inf_mask[offset:offset + k]
-    return msm_pippenger(full[0].curve, packed,
-                         [int(s) for s in scalars], inf_mask=inf_mask,
-                         points_affine=True)
+    return msm_device_scheduled(full[0].curve, packed,
+                                [int(s) for s in scalars])
 
 
 DEVICE_FIXED_BASE_THRESHOLD = 512

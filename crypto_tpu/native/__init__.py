@@ -33,8 +33,11 @@ def _build() -> bool:
 
 
 def get_lib():
-    """The loaded shared library, or None if unavailable."""
+    """The loaded shared library, or None if unavailable (or disabled via
+    CRYPTO_TPU_DISABLE_NATIVE=1 — the CI fallback-matrix axis)."""
     global _lib, _tried
+    if os.environ.get("CRYPTO_TPU_DISABLE_NATIVE"):
+        return None
     if _lib is not None or _tried:
         return _lib
     _tried = True

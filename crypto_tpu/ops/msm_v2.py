@@ -390,18 +390,22 @@ class DeviceMSM:
             maxc = jnp.max(counts)
             bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
             rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
+            # PACKED payload: x and (sign-applied) y 15-bit limbs share one
+            # int32 per limb position, so the latency-bound padded gather
+            # reads HALF the rows-bytes and the per-slot sign gather
+            # disappears.  Built per window (~N-row elementwise work).
+            y_signed = F.select(dw < 0, F.neg(y), y)
+            xy = x | (y_signed << 15)                     # (N, L), 30-bit
             accx = accy = accm = None
             for r in range(rounds):
                 rank = r * PAD + rgrid
                 pos = starts[bgrid] + rank
                 valid = rank < counts[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
-                sx = x[srcp]
-                sy = y[srcp]
-                sgn = dw[srcp]
-                sy = F.select((sgn < 0) & valid, F.neg(sy), sy)
-                xT = sx.T
-                yT = sy.T
+                sxy = xy[srcp]                            # (M, L) packed
+                sxyT = sxy.T                              # (L, M)
+                xT = sxyT & 0x7FFF
+                yT = sxyT >> 15
                 mT = (~valid).astype(jnp.int32)[None, :]
                 while xT.shape[1] > B:
                     xT, yT, mT = halve_t(xT, yT, mT)

@@ -5,6 +5,10 @@ import random
 import numpy as np
 import pytest
 
+# legacy merge-tree MSM engine (ops/msm.py), superseded by ops/msm_v2 on
+# the hot path; exercised in the slow lane to keep default CI latency down
+pytestmark = pytest.mark.slow
+
 from crypto_tpu.curves import bls12_381 as b
 from crypto_tpu.ops.msm import msm_device, scalars_to_digits
 from crypto_tpu.utils.msm import msm as msm_host

@@ -38,7 +38,11 @@ def test_plan_window_add_count():
     assert n_adds == nonzero - nonempty
 
 
-@pytest.mark.parametrize("n", [1, 2, 9, 65])
+@pytest.mark.parametrize("n", [
+    2, 9,
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(65, marks=pytest.mark.slow),
+])
 def test_msm_matches_host(n):
     rng = random.Random(n)
     pts = [bls.G1.rand(rng) for _ in range(n)]
