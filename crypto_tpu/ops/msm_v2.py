@@ -542,8 +542,14 @@ def _engine_for(jc: JCurve) -> DeviceMSM:
     return DeviceMSM(jc)
 
 
+def _auto_c_v2(n: int) -> int:
+    """Window size: c=16 amortizes the 2^15-bucket tail at large N; c=8
+    keeps the per-window fixed costs (tail, sort) small below ~2^17."""
+    return 16 if n >= (1 << 17) else 8
+
+
 def msm_device_scheduled(curve: SWCurve, points, scalars,
-                         c: int = 16, nbits: int | None = None,
+                         c: int | None = None, nbits: int | None = None,
                          pad: int | None = None) -> Point:
     """Full MSM with on-device scheduling; returns a host Point.
 
@@ -560,6 +566,8 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     if not isinstance(points, JPoints):
         points = jc.pack_points([p.normalize() for p in points])
     N = points.X.shape[0]
+    if c is None:
+        c = _auto_c_v2(N)
 
     if isinstance(scalars, jnp.ndarray) and scalars.ndim == 2 \
             and scalars.dtype == jnp.int32:
