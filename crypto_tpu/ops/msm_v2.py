@@ -352,7 +352,7 @@ class DeviceMSM:
         pre, post = affine_kernels_for(L, F.p, F.field.Ninv_R)
         mulT = mont_mul_t_fn(L, F.p, F.field.Ninv_R)
 
-        BLK = 2048
+        BLK = 512   # affine kernels' pallas block (one-hot mul VMEM bound)
 
         def halve_t(xT, yT, mT):
             h = xT.shape[1] // 2

@@ -77,20 +77,41 @@ def _widemul_cols(a, b, L):
 
 class FieldCtx:
     """Per-curve constants + field ops in transposed layout, usable both
-    inside Pallas kernels (on loaded values) and when tracing kernels."""
+    inside Pallas kernels (on loaded values) and when tracing kernels.
 
-    def __init__(self, L: int, p_int: int, ninv_int: int):
+    `onehot=True` computes the schoolbook columns via the exact-f32 one-hot
+    MXU matmul (as `field_kernels._make_mont_mul_kernel`; ~10 ns/elem) at
+    the price of a (L*L, B) VMEM intermediate — use with block <= 512.
+    Default is the roll/MAC VPU form (fits block 1536-2048)."""
+
+    def __init__(self, L: int, p_int: int, ninv_int: int,
+                 onehot: bool = False):
         self.L = L
+        self.onehot = onehot
         tb = fk._const_tables(L, p_int, ninv_int)
         self.names = ["ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
+        if onehot:
+            self.names = ["oh"] + self.names
         # numpy (not jnp) so lru-cached factories never capture tracers
         self.tables = {n: np.asarray(tb[n]) for n in self.names}
         self.shapes = {n: tb[n].shape for n in self.names}
 
     # every op takes `c` = dict of loaded constant values
+    def _wide_cols(self, c, a, b):
+        L = self.L
+        if not self.onehot:
+            return _widemul_cols(a, b, L)
+        P = jnp.concatenate([a[i:i + 1, :] * b for i in range(L)], axis=0)
+        Plo = (P & LIMB_MASK).astype(jnp.float32)
+        Phi = (P >> LIMB_BITS).astype(jnp.float32)
+        oh = c["oh"]
+        cols_lo = fk._f32dot(oh, Plo).astype(jnp.int32)
+        cols_hi = fk._f32dot(oh, Phi).astype(jnp.int32)
+        return cols_lo + _shift_rows_down(cols_hi, 1)
+
     def mul(self, c, a, b):
         L = self.L
-        t = fk._carry_ks_rows(_widemul_cols(a, b, L), 2 * L)
+        t = fk._carry_ks_rows(self._wide_cols(c, a, b), 2 * L)
         m_main, m_carry = fk._toeplitz_mul(t[:L], c["ninv_lo"], c["ninv_hi"])
         m = fk._carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)
         u_main, u_carry = fk._toeplitz_mul(m, c["p_lo"], c["p_hi"])
@@ -408,7 +429,7 @@ def make_normalize_fn(jc: JCurve, block_b: int = DEFAULT_BLOCK):
 
 @functools.lru_cache(maxsize=None)
 def affine_kernels_for(L: int, p_int: int, ninv_int: int,
-                       block_b: int = DEFAULT_BLOCK):
+                       block_b: int = 512):
     """Two fused kernels for one batched-affine halving level (transposed
     (L, B) layout, masks as (1, B) int32):
 
@@ -419,7 +440,7 @@ def affine_kernels_for(L: int, p_int: int, ninv_int: int,
           the unified affine add/double given the inverted denominators
           (4 muls + selects, all in VMEM).
     """
-    F = FieldCtx(L, p_int, ninv_int)
+    F = FieldCtx(L, p_int, ninv_int, onehot=True)
     consts = [F.tables[n] for n in F.names]
     const_specs = [
         pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -432,9 +453,11 @@ def affine_kernels_for(L: int, p_int: int, ninv_int: int,
 
     one_mont_col = None  # computed from constants inside the kernel
 
+    NC = len(F.names)
+
     def pre_kernel(x1, y1, m1, x2, y2, m2, *rest):
-        c = dict(zip(F.names, (r[:] for r in rest[:5])))
-        od, odbl, oinf = rest[5], rest[6], rest[7]
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        od, odbl, oinf = rest[NC], rest[NC + 1], rest[NC + 2]
         X1, Y1, X2, Y2 = x1[:], y1[:], x2[:], y2[:]
         i1 = m1[:] > 0
         i2 = m2[:] > 0
@@ -461,8 +484,8 @@ def affine_kernels_for(L: int, p_int: int, ninv_int: int,
         oinf[:] = is_inf3.astype(jnp.int32)
 
     def post_kernel(x1, y1, x2, y2, dinv, mdbl, m1, m2, *rest):
-        c = dict(zip(F.names, (r[:] for r in rest[:5])))
-        ox, oy = rest[5], rest[6]
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        ox, oy = rest[NC], rest[NC + 1]
         X1, Y1, X2, Y2, DI = x1[:], y1[:], x2[:], y2[:], dinv[:]
         is_dbl = mdbl[:] > 0
         i1 = m1[:] > 0

@@ -372,6 +372,10 @@ class VerifiableEncryptionTZ21(Statement):
     enc_gen: Point
     n_parties: int = 8
     reps: int = 16
+    # "dkgith" (statement/mod.rs:134 VeTZ21) or "rdkgith"
+    # (statement/mod.rs:136 VeTZ21Robust; `reps` is the revealed-party
+    # threshold there)
+    variant: str = "dkgith"
 
     def init_subprotocol(self, rng, blindings, witness):
         wits = list(witness) + [F.rand(rng)]
@@ -393,11 +397,18 @@ class VerifiableEncryptionTZ21(Statement):
                 writer.point(sc.t)
 
             def gen_proof(self, challenge):
-                from ..verifiable_encryption.tz21 import DkgithProof
-                ve = DkgithProof.new(rng, wits, commitment, ck,
-                                     stmt.enc_pk, stmt.enc_gen,
-                                     n_parties=stmt.n_parties,
-                                     reps=stmt.reps)
+                if stmt.variant == "rdkgith":
+                    from ..verifiable_encryption.rdkgith import RdkgithProof
+                    ve = RdkgithProof.new(rng, wits, ck, stmt.enc_pk,
+                                          stmt.enc_gen,
+                                          num_parties=stmt.n_parties,
+                                          threshold=stmt.reps)
+                else:
+                    from ..verifiable_encryption.tz21 import DkgithProof
+                    ve = DkgithProof.new(rng, wits, commitment, ck,
+                                         stmt.enc_pk, stmt.enc_gen,
+                                         n_parties=stmt.n_parties,
+                                         reps=stmt.reps)
                 return VETZ21Proof(commitment=commitment, t=sc.t,
                                    sc=sc.response(wits, challenge),
                                    ve_proof=ve)

@@ -124,3 +124,102 @@ class PoKBBSSignature23IETFG1Prover(_ProverSideMixin,
     """Prover-side IETF BBS statement (`statement/mod.rs:132`)."""
     public_key: object = None
     revealed_messages: dict = dc_field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# remaining reference-variant spellings (`statement/mod.rs:31-139`): the
+# repo's combined classes serve both roles; these named aliases make each
+# reference variant addressable 1:1.
+# ---------------------------------------------------------------------------
+
+from .statements import VBAccumulatorMembershipCDH, VBAccumulatorNonMembershipCDH  # noqa: E402
+from .statements import (KBUniversalAccumulatorMembership,        # noqa: E402
+                         KBUniversalAccumulatorNonMembership)
+from .statements_snark import SaverStatement, BoundCheckLegoGroth16  # noqa: E402
+from .statements_ranges import R1CSCircomStatement, VerifiableEncryptionTZ21  # noqa: E402
+
+
+@dataclass
+class VBAccumulatorMembershipCDHProver(_ProverSideMixin,
+                                       VBAccumulatorMembershipCDH):
+    """`statement/mod.rs:55` (prover side carries no public key)."""
+    public_key: object = None
+
+
+class VBAccumulatorMembershipCDHVerifier(VBAccumulatorMembershipCDH):
+    """`statement/mod.rs:56`."""
+
+
+@dataclass
+class VBAccumulatorNonMembershipCDHProver(_ProverSideMixin,
+                                          VBAccumulatorNonMembershipCDH):
+    """`statement/mod.rs:57`; construct as `...Prover(value, params, Q=Q)`."""
+    public_key: object = None
+    Q: object = None
+
+
+class VBAccumulatorNonMembershipCDHVerifier(VBAccumulatorNonMembershipCDH):
+    """`statement/mod.rs:58`."""
+
+
+@dataclass
+class KBUniversalAccumulatorMembershipCDHProver(
+        _ProverSideMixin, KBUniversalAccumulatorMembership):
+    """`statement/mod.rs:59`."""
+    public_key: object = None
+
+
+class KBUniversalAccumulatorMembershipCDHVerifier(
+        KBUniversalAccumulatorMembership):
+    """`statement/mod.rs:60`."""
+
+
+@dataclass
+class KBUniversalAccumulatorNonMembershipCDHProver(
+        _ProverSideMixin, KBUniversalAccumulatorNonMembership):
+    """`statement/mod.rs:61`."""
+    public_key: object = None
+
+
+class KBUniversalAccumulatorNonMembershipCDHVerifier(
+        KBUniversalAccumulatorNonMembership):
+    """`statement/mod.rs:62`."""
+
+
+class SaverProver(SaverStatement):
+    """`statement/mod.rs:36` — the repo's SaverStatement carries both the
+    proving and verifying material; this spelling marks prover usage."""
+
+
+class SaverVerifier(SaverStatement):
+    """`statement/mod.rs:37` (verification uses only `snark_pk.vk`)."""
+
+
+class BoundCheckLegoGroth16Prover(BoundCheckLegoGroth16):
+    """`statement/mod.rs:38`."""
+
+
+class BoundCheckLegoGroth16Verifier(BoundCheckLegoGroth16):
+    """`statement/mod.rs:39`."""
+
+
+class R1CSCircomProver(R1CSCircomStatement):
+    """`statement/mod.rs:40`."""
+
+
+class R1CSCircomVerifier(R1CSCircomStatement):
+    """`statement/mod.rs:41`."""
+
+
+class VeTZ21(VerifiableEncryptionTZ21):
+    """`statement/mod.rs:134` (DKGitH)."""
+
+
+@dataclass
+class VeTZ21Robust(VerifiableEncryptionTZ21):
+    """`statement/mod.rs:136` (Robust DKGitH: one MPC instance, reveal-
+    threshold soundness).  `n_parties`/`reps` become the RDkgith
+    (num_parties, revealed-threshold) pair."""
+    variant: str = "rdkgith"
+    n_parties: int = 16
+    reps: int = 12

@@ -6,7 +6,12 @@ Enabled by CRYPTO_TPU_TRACE=1; zero overhead otherwise.
     with trace("create_proof"):
         with trace("witness map"):
             ...
-prints an indented tree with wall-clock durations to stderr."""
+prints an indented tree with wall-clock durations to stderr.
+
+For PER-KERNEL device profiles use `xprof_trace` below — it wraps
+`jax.profiler.trace` so a TensorBoard-compatible trace (per-HLO/per-Mosaic
+timings, HBM usage) lands in the given directory; the TPU equivalent of
+the reference's Criterion + print-trace stack."""
 
 from __future__ import annotations
 

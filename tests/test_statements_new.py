@@ -177,3 +177,34 @@ def test_bbs23_ietf_statements():
         params, pk, {1: msgs[1] + F(1)}))
     with pytest.raises(ProofSystemError):
         proof.verify(RNG, bad_spec, nonce=b"i")
+
+
+def test_ve_tz21_robust_statement():
+    """VeTZ21Robust (`statement/mod.rs:136`): RDkgith variant in a
+    composite proof with witness equality to a BBS+ message."""
+    from crypto_tpu.proof_system.statements_split import VeTZ21Robust
+    from crypto_tpu.proof_system.statements import PoKBBSSignatureG1, BBSWitness
+    from crypto_tpu.bbs_plus.setup import KeypairG2, SignatureParamsG1
+    from crypto_tpu.bbs_plus.signature import SignatureG1
+    from crypto_tpu.utils.elgamal import keygen
+    from crypto_tpu.hashing import n_group_elements
+
+    messages = [F.rand(RNG), F.rand(RNG)]
+    params = SignatureParamsG1.new(b"ve-robust", 2)
+    kp = KeypairG2.generate(RNG, params)
+    sig = SignatureG1.new(RNG, messages, kp.secret_key, params)
+    enc_gen = b.G1.generator()
+    dec_sk, enc_pk = keygen(RNG, enc_gen)
+    ck = [p.normalize() for p in n_group_elements(b.G1, 0, 3, b"ver-ck")]
+
+    spec = ProofSpec()
+    s1 = spec.add_statement(PoKBBSSignatureG1(
+        params=params, public_key=kp.public_key, revealed_messages={}))
+    s2 = spec.add_statement(VeTZ21Robust(
+        comm_key=ck, enc_pk=enc_pk, enc_gen=enc_gen, n_parties=8, reps=5))
+    spec.add_witness_equality([(s1, 0), (s2, 0)])
+    wits = [BBSWitness(signature=sig, messages=messages), [messages[0]]]
+    proof = Proof.new(RNG, spec, wits, nonce=b"r")
+    proof.verify(RNG, spec, nonce=b"r")
+    with pytest.raises(ProofSystemError):
+        proof.verify(RNG, spec, nonce=b"bad")
