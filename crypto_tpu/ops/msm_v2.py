@@ -568,6 +568,10 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     N = points.X.shape[0]
     if c is None:
         c = _auto_c_v2(N)
+    # pad N to the next power of two with infinity points / zero digits so
+    # ragged workloads (the SNARK prover's 2^k-1-ish query vectors) share
+    # ONE compiled window program per size class
+    N_pad = 1 << max(1, (N - 1).bit_length())
 
     if isinstance(scalars, jnp.ndarray) and scalars.ndim == 2 \
             and scalars.dtype == jnp.int32:
@@ -583,6 +587,17 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     W = digits.shape[0]
 
     inf_mask = jc.is_infinity(points)
+    if N_pad != N:
+        ush = tuple(F.unit_shape)
+        zc = jnp.zeros((N_pad - N,) + ush, jnp.int32)
+        points = JPoints(jnp.concatenate([points.X, zc]),
+                         jnp.concatenate([points.Y, zc]),
+                         jnp.concatenate([points.Z, zc]))
+        inf_mask = jnp.concatenate(
+            [inf_mask, jnp.ones((N_pad - N,), bool)])
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((W, N_pad - N), jnp.int32)], axis=1)
+        N = N_pad
 
     # B*PAD layout rows live in HBM with ~4x temporaries during the first
     # halving level; PAD_MAX=64 keeps the 2^20/c=16 working set ~2 GB
