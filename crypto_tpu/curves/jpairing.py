@@ -1,4 +1,5 @@
-"""Batched BLS12 pairing on device: Miller loop + final exponentiation.
+"""Batched pairing on device (BLS12-381 and BN254): Miller loop + final
+exponentiation.
 
 TPU-native replacement for the arkworks `Pairing::{multi_miller_loop,
 final_exponentiation}` surface every verifier in the reference leans on
@@ -22,7 +23,10 @@ Design (TPU-first):
   * Infinity pairs contribute the identity: their line coefficients are
     masked to (1, 0, 0).
 
-Host reference (bit-exact parity target): `curves/bls12_381.py:147-241`.
+Host references (bit-exact parity targets): `curves/bls12_381.py:147-241`
+(M-twist, negative x, mul_by_014 lines) and `curves/bn254.py:95-200`
+(D-twist, ate loop |6x+2| + two Frobenius addition steps, mul_by_034
+lines; hard part via the base-p digit decomposition of (p^4-p^2+1)/r).
 """
 
 from __future__ import annotations
@@ -42,26 +46,29 @@ class JPairing:
     """Device pairing context for a BLS12 curve module (e.g. bls12_381)."""
 
     def __init__(self, mod):
-        assert mod.X < 0, "BLS12 x assumed negative (BLS12-381)"
         self.mod = mod
         self.jf = jfield_for(mod.Fq)
         self.j2 = jquad_for(mod.Fq2)
         self.j6 = jcubic_for(mod.Fq6)
         self.j12 = jfield12_for(mod.Fq12)
-        x_abs = -mod.X
-        self.x_bits = np.array([int(c) for c in bin(x_abs)[2:]], np.int32)
-        # (x-1)/3 magnitude for the hard-part addition chain
-        self.k_bits = np.array([int(c) for c in bin((x_abs + 1) // 3)[2:]],
-                               np.int32)
+        self._family_init(mod)
         two_inv = mod.Fq(2).inverse()
         self.two_inv = self.jf.pack([int(two_inv)])[0]
-        self.twist_b = self.j2.pack([mod.XI.mul_base(4)])[0]
         if self._eager():
             self._ml_jit = self._miller_loop
             self._fe_jit = self._final_exp
         else:
             self._ml_jit = jax.jit(self._miller_loop)
             self._fe_jit = jax.jit(self._final_exp)
+
+    def _family_init(self, mod):
+        assert mod.X < 0, "BLS12 x assumed negative (BLS12-381)"
+        x_abs = -mod.X
+        self.x_bits = np.array([int(c) for c in bin(x_abs)[2:]], np.int32)
+        # (x-1)/3 magnitude for the hard-part addition chain
+        self.k_bits = np.array([int(c) for c in bin((x_abs + 1) // 3)[2:]],
+                               np.int32)
+        self.twist_b = self.j2.pack([mod.XI.mul_base(4)])[0]
 
     # -- Fq2 helpers on batched tensors ---------------------------------
     def _mul_fq(self, a2, s):
@@ -371,10 +378,151 @@ class JPairing:
         return self.multi_pairing([(p, q)])
 
 
+class JPairingBN(JPairing):
+    """BN-family device pairing (BN254): D-type twist — lines embed at
+    Fq12 coefficients (0,3,4) — positive x, ate loop over |6x+2| with two
+    Frobenius addition steps, and the hard part of the final exponentiation
+    computed from the base-p digit decomposition of (p^4 - p^2 + 1)/r
+    (f^d = prod_i frob(f, i)^(lambda_i) on the cyclotomic subgroup —
+    exact by construction, no memorized addition chain to get wrong)."""
+
+    def _family_init(self, mod):
+        assert mod.X > 0, "BN254 x is positive"
+        self.ate_bits = np.array([int(c) for c in bin(mod.ATE_LOOP)[2:]],
+                                 np.int32)
+        self.twist_b = self.j2.pack([mod.TWIST_B])[0]
+        self.gamma_x = self.j2.pack([mod.GAMMA_X])[0]
+        self.gamma_y = self.j2.pack([mod.GAMMA_Y])[0]
+        # hard-part exponent digits base p (exact): d = sum l_i p^i, i<4
+        d = (mod.P ** 4 - mod.P ** 2 + 1) // mod.R
+        self.hard_digits = []
+        for i in range(4):
+            self.hard_digits.append(d % mod.P)
+            d //= mod.P
+        assert d == 0
+
+    # -- D-twist sparse multiplication: f * (c0 + c3 w + c4 v w) ----------
+    def _mul_by_034(self, f, c0, c3, c4):
+        F2 = self.j2
+        F6 = self.j6
+        fc0 = f[..., 0, :, :, :]
+        fc1 = f[..., 1, :, :, :]
+        # v0 = fc0 * (c0, 0, 0): scalar Fq2 mul per coordinate
+        v0 = jnp.stack([F2.mul(fc0[..., i, :, :], c0) for i in range(3)],
+                       axis=-3)
+        # v1 = fc1 * (c3, c4, 0)
+        y0, y1, y2 = (fc1[..., i, :, :] for i in range(3))
+        d0 = F2.add(F2.mul(y0, c3), F6.mul_xi(F2.mul(y2, c4)))
+        d1 = F2.add(F2.mul(y0, c4), F2.mul(y1, c3))
+        d2 = F2.add(F2.mul(y1, c4), F2.mul(y2, c3))
+        v1 = jnp.stack([d0, d1, d2], axis=-3)
+        nc0 = F6.add(v0, F6.mul_by_v(v1))
+        t = self._fq6_mul_sparse01(F6.add(fc0, fc1), F2.add(c0, c3), c4)
+        nc1 = F6.sub(F6.sub(t, v0), v1)
+        return jnp.stack([nc0, nc1], axis=-4)
+
+    def _ell(self, f, line, px, py, active):
+        """Reorder the shared CLN step outputs (M ordering (c0,c1,c2) ->
+        D ordering is the reverse) and combine with yP/xP scaling."""
+        c0, c1, c2 = line[2], line[1], line[0]
+        one2 = self.j2.ones(())
+        c0 = self.j2.select(active, self._mul_fq(c0, py),
+                            jnp.broadcast_to(one2, c0.shape))
+        c3 = self.j2.select(active, self._mul_fq(c1, px), jnp.zeros_like(c1))
+        c4 = self.j2.select(active, c2, jnp.zeros_like(c2))
+        return self._mul_by_034(f, c0, c3, c4)
+
+    def _frob_twist(self, qx, qy, power: int):
+        F2 = self.j2
+        x, y = qx, qy
+        for _ in range(power):
+            x = F2.mul(F2.conjugate(x), jnp.broadcast_to(self.gamma_x, x.shape))
+            y = F2.mul(F2.conjugate(y), jnp.broadcast_to(self.gamma_y, y.shape))
+        return x, y
+
+    def _miller_loop(self, px, py, qx, qy, active):
+        F2 = self.j2
+        f = self.j12.ones(px.shape[:-1])
+        rx, ry = qx, qy
+        rz = jnp.broadcast_to(F2.ones(()), qx.shape).astype(jnp.int32)
+
+        def dbl(f, rx, ry, rz, square: bool):
+            if square:
+                f = self.j12.square(f)
+            (rx, ry, rz), line = self._doubling_step(rx, ry, rz)
+            f = self._ell(f, line, px, py, active)
+            return f, rx, ry, rz
+
+        def add(f, rx, ry, rz, ax_, ay_):
+            (rx, ry, rz), line = self._addition_step(rx, ry, rz, ax_, ay_)
+            f = self._ell(f, line, px, py, active)
+            return f, rx, ry, rz
+
+        if self._eager():
+            first = True
+            for bit in self.ate_bits[1:]:
+                f, rx, ry, rz = dbl(f, rx, ry, rz, square=not first)
+                first = False
+                if bit:
+                    f, rx, ry, rz = add(f, rx, ry, rz, qx, qy)
+        else:
+            bits = jnp.asarray(self.ate_bits[1:])
+            first_mask = jnp.zeros_like(bits).at[0].set(1)
+
+            def step(carry, inp):
+                bit, first_flag = inp
+                f, rx, ry, rz = carry
+                fsq = self.j12.square(f)
+                f = jnp.where(first_flag > 0, f, fsq)
+                (rx, ry, rz), line = self._doubling_step(rx, ry, rz)
+                f = self._ell(f, line, px, py, active)
+                fa, ax_, ay_, az_ = None, None, None, None
+                (ax_, ay_, az_), aline = self._addition_step(rx, ry, rz,
+                                                             qx, qy)
+                fa = self._ell(f, aline, px, py, active)
+                take = bit > 0
+                f = jnp.where(take, fa, f)
+                rx = F2.select(jnp.broadcast_to(take, rx.shape[:-2]), ax_, rx)
+                ry = F2.select(jnp.broadcast_to(take, ry.shape[:-2]), ay_, ry)
+                rz = F2.select(jnp.broadcast_to(take, rz.shape[:-2]), az_, rz)
+                return (f, rx, ry, rz), None
+
+            (f, rx, ry, rz), _ = jax.lax.scan(step, (f, rx, ry, rz),
+                                              (bits, first_mask))
+
+        # two extra Frobenius addition steps: +pi(Q), then +(-pi^2(Q))
+        q1x, q1y = self._frob_twist(qx, qy, 1)
+        f, rx, ry, rz = add(f, rx, ry, rz, q1x, q1y)
+        q2x, q2y = self._frob_twist(qx, qy, 2)
+        f, rx, ry, rz = add(f, rx, ry, rz, q2x, F2.neg(q2y))
+        return f        # x > 0: no conjugation
+
+    def _final_exp(self, f):
+        j12 = self.j12
+        # easy part
+        f = j12.mul(j12.conjugate(f), j12.inv(f))
+        f = j12.mul(j12.frobenius(f, 2), f)
+        # hard part: f^d with d = sum_i lambda_i p^i (base-p digits)
+        out = None
+        for i, lam in enumerate(self.hard_digits):
+            if lam == 0:
+                continue
+            base = j12.frobenius(f, i) if i else f
+            if lam == 1:
+                term = base
+            else:
+                bits = np.array([int(c) for c in bin(lam)[2:]], np.int32)
+                term = self._cyc_exp_abs(base, bits)
+            out = term if out is None else j12.mul(out, term)
+        return out
+
+
 @functools.cache
 def jpairing_for(mod_name: str = "bls12_381") -> JPairing:
     if mod_name == "bls12_381":
         from . import bls12_381 as mod
-    else:
-        raise ValueError(f"unknown pairing module {mod_name}")
-    return JPairing(mod)
+        return JPairing(mod)
+    if mod_name == "bn254":
+        from . import bn254 as mod
+        return JPairingBN(mod)
+    raise ValueError(f"unknown pairing module {mod_name}")

@@ -47,3 +47,31 @@ def test_bilinearity_on_device(jp):
     out = jp.multi_pairing([((p * a).normalize(), q),
                             ((-(p * a)).normalize(), q)])
     assert out == bls.Fq12.one()
+
+
+# ---------------------------------------------------------------------------
+# BN254 device pairing (D-twist ate loop, `curves/jpairing.py` JPairingBN)
+# ---------------------------------------------------------------------------
+
+def test_bn254_device_pairing_matches_host():
+    from crypto_tpu.curves import bn254 as bn
+    jp = jpairing_for("bn254")
+    p = (bn.G1.generator() * 97).normalize()
+    q = (bn.G2.generator() * 31).normalize()
+    assert jp.pairing(p, q) == bn.pairing(p, q)
+
+
+def test_bn254_device_multi_pairing():
+    import random as _r
+    from crypto_tpu.curves import bn254 as bn
+    r2 = _r.Random(6)
+    jp = jpairing_for("bn254")
+    pairs = [(bn.G1.rand(r2).normalize(), bn.G2.rand(r2).normalize())
+             for _ in range(2)]
+    pairs.append((bn.G1.infinity(), bn.G2.generator()))
+    assert jp.multi_pairing(pairs) == bn.multi_pairing(pairs)
+    # product-is-one form
+    a = (bn.G1.generator() * 5).normalize()
+    out = jp.multi_pairing([(a, bn.G2.generator()),
+                            ((-a).normalize(), bn.G2.generator())])
+    assert out == bn.Fq12.one()
