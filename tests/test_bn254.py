@@ -68,3 +68,23 @@ def test_device_curve_bn254_g1():
     got = jc.unpack(jc.add(jc.pack_points(pts), jc.pack_points(qts)))
     for g, (p, q) in zip(got, zip(pts, qts)):
         assert g.normalize() == (p + q).normalize()
+
+
+def test_bn254_ntt_roundtrip():
+    """The radix-2 NTT is field-generic: BN254 Fr (two-adicity 28)."""
+    from crypto_tpu.ops.ntt import domain_for
+    d = domain_for(bn.Fr, 16)
+    vals = [rng.randrange(bn.R) for _ in range(16)]
+    out = d.ntt_ints(vals)
+    assert d.ntt_ints(out, inverse=True) == vals
+
+
+def test_bn254_device_msm():
+    from crypto_tpu.ops.msm_v2 import msm_device_scheduled
+    pts = [bn.G1.rand(rng).normalize() for _ in range(12)]
+    scs = [rng.randrange(1, 1 << 64) for _ in range(12)]
+    got = msm_device_scheduled(bn.G1, pts, scs, c=8, nbits=64)
+    exp = bn.G1.infinity()
+    for p, s in zip(pts, scs):
+        exp = exp + p * s
+    assert got.normalize() == exp.normalize()
