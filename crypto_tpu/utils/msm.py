@@ -81,8 +81,18 @@ class WindowTable:
         return self.mul(scalar)
 
 
+DEVICE_FIXED_BASE_THRESHOLD = 512
+
+
 def multiply_field_elems_with_same_group_elem(base: Point, scalars) -> list[Point]:
     """[base * s for s in scalars] via a shared window table
-    (reference `utils/src/misc.rs` `points`)."""
+    (reference `utils/src/misc.rs` `points`).  Above a size threshold the
+    job runs on the device-resident gather table (`ops/fixed_base.py`) —
+    this is the fixed-base hot path of CRS generation and accumulator
+    Omega construction."""
+    if len(scalars) >= DEVICE_FIXED_BASE_THRESHOLD and not base.is_infinity():
+        from ..ops.fixed_base import table_for
+        tab = table_for(base.curve, base)
+        return tab.mul_many_host([int(s) for s in scalars])
     table = WindowTable(max(len(scalars), 1), base)
     return [table.mul(s) for s in scalars]
