@@ -27,8 +27,22 @@ from ..ops.msm_v2 import (DeviceMSM, AffinePoints, _engine_for,
                           _global_max_occupancy)
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
                              axis: str = "data"):
+    key = (jc, tuple(d.id for d in mesh.devices.flat), c, PAD, axis)
+    cached = _STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    step = _make_sharded_window_step(jc, mesh, c, PAD, axis)
+    _STEP_CACHE[key] = step
+    return step
+
+
+def _make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
+                              axis: str = "data"):
     """Jitted sharded step: (digits (N,), x (N,u), y (N,u), inf (N,)) ->
     combined bucket sums (B,) (replicated).  The tiny weighted tail runs
     OUTSIDE the SPMD program (it is O(B) work and would dominate the
