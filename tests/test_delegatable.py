@@ -341,3 +341,29 @@ def test_protego_signer_hidden_with_policy():
     other_pk = DelegationPolicyPublicKey.new(
         DelegationPolicySecretKey.new(RNG, 5), P1)
     assert not show.verify(c, attrs[:2], other_pk, None, srs)
+
+
+def test_aggregate_subset_witnesses():
+    """Hash-weighted subset-witness aggregation: one pairing equation checks
+    openings of multiple commitments at once
+    (reference `set_commitment.rs:432-600`)."""
+    from crypto_tpu.delegatable_credentials.set_commitment import (
+        AggregateSubsetWitness)
+    srs = SetCommitmentSRS.generate(RNG, 16)
+    commitments, subsets, witnesses = [], [], []
+    for k in range(3):
+        members = {int(F.rand(RNG)) for _ in range(4 + k)}
+        comm, rho = SetCommitment.new(RNG, members, srs)
+        subset = set(list(members)[:2])
+        wit = SubsetWitness.new(members, subset, rho, srs)
+        commitments.append(comm)
+        subsets.append(subset)
+        witnesses.append(wit)
+    agg = AggregateSubsetWitness.new(commitments, subsets, witnesses)
+    assert agg.verify(commitments, subsets, srs)
+    # wrong subset list rejected
+    bad = [set(s) for s in subsets]
+    bad[1] = {int(F.rand(RNG))}
+    assert not agg.verify(commitments, bad, srs)
+    # mismatched lengths rejected
+    assert not agg.verify(commitments[:2], subsets, srs)
