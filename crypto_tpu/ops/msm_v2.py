@@ -42,15 +42,13 @@ Reference: replaces arkworks `VariableBaseMSM::msm_bigint` call sites
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..curves.sw import SWCurve, Point
 from ..curves.jcurve import JCurve, JPoints, jcurve_for
-from .pippenger import scalars_to_bytes, _auto_c
+from .pippenger import scalars_to_bytes
 
 
 # ---------------------------------------------------------------------------
