@@ -103,3 +103,19 @@ def test_device_digits_matches_host():
     host = signed_digits(scs, c, nbits)
     dev = np.asarray(msm_v2.device_digits(jnp.asarray(sb), c, nbits))
     assert (host == dev).all()
+
+
+def test_engine_cross_check_v1_v2():
+    """Same MSM through the host-scheduled v1 engine, the device-scheduled
+    v2 engine and the host ground truth."""
+    from crypto_tpu.ops.pippenger import msm_pippenger
+    n = 48
+    pts = [b.G1.rand(rng).normalize() for _ in range(n)]
+    scs = [rng.randrange(0, 1 << 64) for _ in range(n)]
+    v2 = msm_v2.msm_device_scheduled(b.G1, pts, scs, c=8, nbits=64)
+    v1 = msm_pippenger(b.G1, pts, scs, c=8, nbits=64)
+    exp = b.G1.infinity()
+    for p, s in zip(pts, scs):
+        exp = exp + p * s
+    assert v2.normalize() == exp.normalize()
+    assert v1.normalize() == exp.normalize()
