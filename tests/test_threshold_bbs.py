@@ -314,3 +314,51 @@ def test_syra_threshold_issuance():
     from crypto_tpu.syra.core import UserSecretKey
     central = UserSecretKey.issue(uid, isk, params)
     assert usk.usk == central.usk
+
+
+def test_threshold_bbs23_signing():
+    """Threshold BBS-2023: same MPC flow, (A, e) signature
+    (reference `bbs_plus/src/threshold/threshold_bbs.rs`)."""
+    from crypto_tpu.bbs_plus.bbs23 import SignatureParams23G1, PublicKey23G2
+    from crypto_tpu.bbs_plus.setup import SecretKey
+    from crypto_tpu.secret_sharing.schemes import shamir_deal_secret
+    from crypto_tpu.bbs_plus.threshold.threshold_bbs import (
+        BBSPhase1, BBSSignatureShare, run_phase2_pairwise)
+
+    n_msgs = 3
+    params = SignatureParams23G1.new(b"threshold-bbs23", n_msgs)
+    sk = SecretKey.generate(RNG)
+    pk = PublicKey23G2.generate(sk, params)
+    shares, _ = shamir_deal_secret(RNG, sk.x, 3, 5)
+    signer_ids = [1, 2, 5]
+    messages = [F.rand(RNG) for _ in range(n_msgs)]
+
+    phase1, ct_comms, zs_comms = {}, {}, {}
+    for i in signer_ids:
+        others = {j for j in signer_ids if j != i}
+        phase1[i], ct_comms[i], zs_comms[i] = BBSPhase1.init(
+            RNG, 1, i, others, b"tbbs23-test")
+    for i in signer_ids:
+        for j in signer_ids:
+            if i != j:
+                phase1[i].commitment_protocol.receive_commitments(j, ct_comms[j])
+                phase1[i].zero_sharing_protocol.receive_commitments(j, zs_comms[j][i])
+    ct_reveals = {i: phase1[i].commitment_protocol.reveal() for i in signer_ids}
+    zs_reveals = {i: phase1[i].zero_sharing_protocol.reveals() for i in signer_ids}
+    for i in signer_ids:
+        for j in signer_ids:
+            if i != j:
+                phase1[i].commitment_protocol.receive_reveals(j, ct_reveals[j])
+                phase1[i].zero_sharing_protocol.receive_reveals(j, zs_reveals[j][i])
+    p1out = {}
+    for i in signer_ids:
+        x_i = next(s.share for s in shares.shares if s.id == i)
+        p1out[i] = phase1[i].finish(x_i, signer_ids)
+
+    p2out = run_phase2_pairwise(RNG, p1out)
+    sig_shares = [
+        BBSSignatureShare.new(messages, 0, p1out[i], p2out[i], params)
+        for i in signer_ids
+    ]
+    sig = BBSSignatureShare.aggregate(sig_shares)
+    assert sig.verify(messages, pk, params)
