@@ -33,7 +33,20 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
+from jax.experimental import pallas as _pl_mod
+import functools as _ft
+
+
+class _PallasShim:
+    def __getattr__(self, name):
+        return getattr(_pl_mod, name)
+
+    def pallas_call(self, *a, **kw):
+        kw.setdefault('interpret', _INTERPRET)
+        return _pl_mod.pallas_call(*a, **kw)
+
+
+pl = _PallasShim()
 from jax.experimental.pallas import tpu as pltpu
 
 from ...fields.jfield import LIMB_BITS, LIMB_MASK
@@ -41,6 +54,11 @@ from ...curves.jcurve import JCurve, JPoints
 from . import field_kernels as fk
 
 DEFAULT_BLOCK = 2048
+
+# CRYPTO_TPU_PALLAS_INTERPRET=1 runs every kernel in the Pallas interpreter
+# (CPU) — used by tests to cover the kernel code paths without a TPU.
+import os as _os
+_INTERPRET = bool(_os.environ.get("CRYPTO_TPU_PALLAS_INTERPRET"))
 # the full-add kernel's live set + grid double-buffering exceeds the 16M
 # VMEM budget at block 2048; 1536 fits (measured on v5e)
 FULL_ADD_BLOCK = 1536

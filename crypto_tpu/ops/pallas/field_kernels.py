@@ -22,12 +22,30 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
+from jax.experimental import pallas as _pl_mod
+import functools as _ft
+
+
+class _PallasShim:
+    def __getattr__(self, name):
+        return getattr(_pl_mod, name)
+
+    def pallas_call(self, *a, **kw):
+        kw.setdefault('interpret', _INTERPRET)
+        return _pl_mod.pallas_call(*a, **kw)
+
+
+pl = _PallasShim()
 from jax.experimental.pallas import tpu as pltpu
 
 from ...fields.jfield import LIMB_BITS, LIMB_MASK, int_to_limbs
 
 BLOCK_B = 512
+
+# CRYPTO_TPU_PALLAS_INTERPRET=1 runs every kernel in the Pallas interpreter
+# (CPU) — used by tests to cover the kernel code paths without a TPU.
+import os as _os
+_INTERPRET = bool(_os.environ.get("CRYPTO_TPU_PALLAS_INTERPRET"))
 
 
 def _shift_rows_down(x, k):
