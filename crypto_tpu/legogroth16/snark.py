@@ -432,6 +432,19 @@ def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs,
     return lhs == pvk.alpha_beta
 
 
+def verify_proof_with_checker(pvk: PreparedVerifyingKey, proof: Proof,
+                              public_inputs, checker, ctx=bls) -> None:
+    """Accumulate the 3-pairing verification equation into a shared
+    `RandomizedPairingChecker` (reference `verifier.rs` with
+    `VerifierConfig`): e(A,B) e(C,-delta) e(D+inputs,-gamma) == e(alpha,beta)."""
+    vk = pvk.vk
+    d = (prepare_inputs(vk, public_inputs, ctx) + proof.d).normalize()
+    checker.add_multiple_sources_and_target(
+        [proof.a, proof.c, d],
+        [proof.b, (-vk.delta_g2).normalize(), (-vk.gamma_g2).normalize()],
+        pvk.alpha_beta)
+
+
 def verify_commitment(vk: VerifyingKey, proof: Proof, public_inputs,
                       committed_witnesses, v: Fp, ctx=bls) -> bool:
     """Open D: D == sum gamma_abc[committed]*w_i + v*eta/gamma

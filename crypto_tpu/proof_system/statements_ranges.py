@@ -260,8 +260,12 @@ class R1CSCircomStatement(Statement):
             raise ProofSystemError(
                 "aggregated R1CS proof in non-aggregating spec")
         pvk = snark.PreparedVerifyingKey.from_vk(self.snark_pk.vk)
-        if not snark.verify_proof(pvk, proof.snark_proof,
-                                  self.public_inputs):
+        if pairing_checker is not None:
+            snark.verify_proof_with_checker(pvk, proof.snark_proof,
+                                            self.public_inputs,
+                                            pairing_checker)
+        elif not snark.verify_proof(pvk, proof.snark_proof,
+                                    self.public_inputs):
             raise ProofSystemError("R1CS SNARK verification failed")
         self._verify_schnorr(proof, challenge)
 

@@ -106,8 +106,12 @@ class BoundCheckLegoGroth16(Statement):
                 "aggregated bound-check proof in non-aggregating spec")
         vk = self.snark_pk.vk
         pvk = snark.PreparedVerifyingKey.from_vk(vk)
-        if not snark.verify_proof(pvk, proof.snark_proof,
-                                  [F(self.min_val), F(self.max_val)]):
+        if pairing_checker is not None:
+            snark.verify_proof_with_checker(
+                pvk, proof.snark_proof, [F(self.min_val), F(self.max_val)],
+                pairing_checker)
+        elif not snark.verify_proof(pvk, proof.snark_proof,
+                                    [F(self.min_val), F(self.max_val)]):
             raise ProofSystemError("bound check SNARK failed")
         self._verify_schnorr(proof, challenge)
 

@@ -233,3 +233,26 @@ def test_snarkpack_aggregation_in_composite_proof(cred, bound_srs,
     ag.z_c = (ag.z_c + b.G1.generator()).normalize()
     with pytest.raises(ProofSystemError):
         bad.verify(RNG, build_spec(verifier_srs), nonce=b"agg")
+
+
+def test_bound_check_with_randomized_pairing_checker(cred, bound_srs):
+    """SNARK pairing equations accumulate into the shared checker
+    (`verifier.rs` + `snark.verify_proof_with_checker`)."""
+    from crypto_tpu.proof_system.proof import VerifierConfig
+    sig_params, issuer, messages, signature = cred
+    spec = ProofSpec()
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key,
+        revealed_messages={}))
+    s1 = spec.add_statement(BoundCheckLegoGroth16(
+        min_val=18, max_val=100, snark_pk=bound_srs))
+    spec.add_witness_equality([(s0, 0), (s1, 0)])
+    wits = [BBSWitness(signature=signature, messages=messages),
+            messages[0]]
+    proof = Proof.new(RNG, spec, wits, nonce=b"rc")
+    for lazy in (False, True):
+        assert proof.verify(RNG, spec, nonce=b"rc",
+                            config=VerifierConfig(lazy))
+    with pytest.raises(ProofSystemError):
+        proof.verify(RNG, spec, nonce=b"bad",
+                     config=VerifierConfig(True))
