@@ -394,14 +394,20 @@ class DeviceMSM:
             # disappears.  Built per window (~N-row elementwise work).
             y_signed = F.select(dw < 0, F.neg(y), y)
             xy = x | (y_signed << 15)                     # (N, L), 30-bit
+            use_dma = bool(__import__("os").environ.get(
+                "CRYPTO_TPU_DMA_GATHER"))
             accx = accy = accm = None
             for r in range(rounds):
                 rank = r * PAD + rgrid
                 pos = starts[bgrid] + rank
                 valid = rank < counts[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
-                sxy = xy[srcp]                            # (M, L) packed
-                sxyT = sxy.T                              # (L, M)
+                if use_dma:
+                    # scalar-prefetch DMA gather emits transposed directly
+                    from .pallas.field_kernels import gather_rows_t_fn
+                    sxyT = gather_rows_t_fn(L)(xy, srcp.astype(jnp.int32))
+                else:
+                    sxyT = xy[srcp].T                     # (L, M)
                 xT = sxyT & 0x7FFF
                 yT = sxyT >> 15
                 mT = (~valid).astype(jnp.int32)[None, :]

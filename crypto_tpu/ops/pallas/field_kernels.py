@@ -182,6 +182,56 @@ def _make_mont_mul_kernel(L: int):
 
 
 @functools.lru_cache(maxsize=None)
+def gather_rows_t_fn(ncols: int, block_b: int = 2048, nchunk: int = 32):
+    """Row gather with transposed output via scalar-prefetch DMA:
+    (payload (N, ncols) int32 in HBM, idx (M,) int32) -> (ncols, M).
+
+    XLA's gather reads ~50 cycles/row (latency-bound); this kernel keeps
+    `nchunk` row DMAs in flight per block and emits the transposed layout
+    the fused affine kernels consume (saving the separate XLA transpose).
+    M must be a multiple of block_b."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    def kernel(idx_ref, payload_ref, out_ref, scratch, sems):
+        base = pl.program_id(0) * block_b
+
+        def outer(k, carry):
+            start = k * nchunk
+            for t in range(nchunk):
+                r = start + t
+                src = payload_ref.at[idx_ref[base + r]]
+                pltpu.make_async_copy(src, scratch.at[r], sems.at[t]).start()
+            for t in range(nchunk):
+                r = start + t
+                src = payload_ref.at[idx_ref[base + r]]
+                pltpu.make_async_copy(src, scratch.at[r], sems.at[t]).wait()
+            return carry
+
+        jax.lax.fori_loop(0, block_b // nchunk, outer, 0)
+        out_ref[:] = scratch[:].T
+
+    def run(payload: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+        M = idx.shape[0]
+        assert M % block_b == 0, "pad M to the block size"
+        gs = _pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(M // block_b,),
+            in_specs=[pl.BlockSpec(memory_space=_pltpu.ANY)],
+            out_specs=pl.BlockSpec((ncols, block_b), lambda i, *_: (0, i),
+                                   memory_space=_pltpu.VMEM),
+            scratch_shapes=[_pltpu.VMEM((block_b, ncols), jnp.int32),
+                            _pltpu.SemaphoreType.DMA((nchunk,))],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ncols, M), jnp.int32),
+            grid_spec=gs,
+        )(idx, payload)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def mont_mul_t_fn(L: int, p_int: int, ninv_int: int, block_b: int = BLOCK_B):
     """Batched Montgomery mul in transposed layout: (L, B) x (L, B) -> (L, B).
     B must be a multiple of block_b (caller pads)."""

@@ -72,3 +72,29 @@ def test_pallas_kernels_interpret_mode():
                              os.path.abspath(__file__))))
     assert "affine pre/post interpret OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
+
+
+SCRIPT_GATHER = r"""
+import os
+os.environ["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from crypto_tpu.ops.pallas.field_kernels import gather_rows_t_fn
+rng = np.random.default_rng(0)
+N, M, C = 300, 2048, 26
+payload = jnp.asarray(rng.integers(0, 1 << 15, size=(N, C), dtype=np.int32))
+idx = jnp.asarray(rng.integers(0, N, size=M, dtype=np.int32))
+out = np.asarray(gather_rows_t_fn(C, block_b=1024, nchunk=8)(payload, idx))
+assert (out == np.asarray(payload)[np.asarray(idx)].T).all()
+print("GATHER OK")
+"""
+
+
+def test_dma_gather_interpret_mode():
+    env = dict(os.environ)
+    env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+    out = subprocess.run([sys.executable, "-c", SCRIPT_GATHER], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "GATHER OK" in out.stdout, out.stderr[-2000:]
