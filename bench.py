@@ -23,7 +23,23 @@ import time
 import numpy as np
 
 
+def _probe_tpu_relay() -> None:
+    """Fail fast (exit 3) if the axon TPU relay is unreachable — a hung
+    first device op would otherwise stall the caller indefinitely."""
+    import socket
+    host_port = os.environ.get("CRYPTO_TPU_RELAY", "127.0.0.1:8093")
+    host, _, port = host_port.partition(":")
+    try:
+        with socket.create_connection((host, int(port)), timeout=10):
+            return
+    except OSError as e:
+        print(f"TPU relay {host_port} unreachable: {e}", file=sys.stderr)
+        sys.exit(3)
+
+
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS", "axon") == "axon":
+        _probe_tpu_relay()
     import crypto_tpu.jax_setup  # persistent compile cache
     import jax
 
