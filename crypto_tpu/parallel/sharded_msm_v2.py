@@ -7,12 +7,29 @@ per-bucket partial sums are combined across chips with one `all_gather`
 over ICI (B points, KBs — communication independent of N) followed by a
 log-depth affine tree add, and the weighted tail runs replicated.
 
+Two combine strategies, selected by backend (override with
+`CRYPTO_TPU_SHARDED_COLLECTIVE=0/1`):
+
+* **In-program collective (TPU default)**: the `all_gather`, the log-depth
+  bucket combine and the weighted tail all run INSIDE the shard_map
+  program, so one jit call per window returns the final window point with
+  zero host round-trips — the gather rides ICI and the replicated combine
+  overlaps across windows (dispatches are async).
+* **Outside-SPMD combine (CPU default)**: the per-device bucket vectors
+  come back sharded and are combined after a `device_get`.  XLA:CPU's
+  collective rendezvous aborts after 40 s when 8 virtual devices
+  time-share the host cores, so the virtual-mesh test lane cannot keep
+  collectives inside the program; this fallback exists for that lane
+  only.
+
 Communication: one all_gather of (ndev, B) affine points per window; the
 per-chip compute is ~(N/ndev) * 7 muls, so scaling efficiency approaches
 compute/(compute + B*log(ndev) adds).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
@@ -30,57 +47,89 @@ from ..ops.msm_v2 import (DeviceMSM, AffinePoints, _engine_for,
 _STEP_CACHE: dict = {}
 
 
+def in_program_collective() -> bool:
+    """True when the cross-shard bucket combine should run inside the SPMD
+    program (all_gather over ICI).  Defaults to the backend: real TPU
+    meshes keep the collective in-program; the XLA:CPU virtual mesh cannot
+    (40 s rendezvous abort when virtual devices starve host threads)."""
+    env = os.environ.get("CRYPTO_TPU_SHARDED_COLLECTIVE")
+    if env is not None:
+        return env not in ("", "0")
+    return jax.default_backend() != "cpu"
+
+
 def make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
-                             axis: str = "data"):
-    key = (jc, tuple(d.id for d in mesh.devices.flat), c, PAD, axis)
+                             axis: str = "data", collective: bool = False):
+    key = (jc, tuple(d.id for d in mesh.devices.flat), c, PAD, axis,
+           collective)
     cached = _STEP_CACHE.get(key)
     if cached is not None:
         return cached
-    step = _make_sharded_window_step(jc, mesh, c, PAD, axis)
+    step = _make_sharded_window_step(jc, mesh, c, PAD, axis, collective)
     _STEP_CACHE[key] = step
     return step
 
 
+def _shard_map(fn, **kwargs):
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:       # older JAX spelling
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
 def _make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
-                              axis: str = "data"):
-    """Jitted sharded step: (digits (N,), x (N,u), y (N,u), inf (N,)) ->
-    combined bucket sums (B,) (replicated).  The tiny weighted tail runs
-    OUTSIDE the SPMD program (it is O(B) work and would dominate the
-    shard_map compile)."""
+                              axis: str = "data", collective: bool = False):
+    """Jitted sharded step over one digit window.
+
+    collective=True: (digits (N,), x, y, inf) -> final window point
+    (ox, oy, oinf) — per-shard bucket sums, in-program all_gather over
+    `axis`, replicated log-depth combine and weighted tail; no host
+    round-trips.
+
+    collective=False: -> per-device bucket vectors (ndev*B,) sharded along
+    `axis`; the combine + tail run on the fetched output (XLA:CPU lane).
+    """
     engine = _engine_for(jc)
     bucket_sums = engine.bucket_sums_fn(c, PAD)
+    tail = engine.tail_fn(c)
     F = jc.F
+    ndev = mesh.devices.size
 
-    def step(dw, x, y, inf):
-        def local(dw_s, x_s, y_s, inf_s):
-            Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
-            return Ploc.x, Ploc.y, Ploc.inf
+    if collective:
+        def step(dw, x, y, inf):
+            def local(dw_s, x_s, y_s, inf_s):
+                Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
+                # one ICI all_gather of the (B,) bucket vector per shard;
+                # combine + O(B) tail run replicated on every device
+                gx = jax.lax.all_gather(Ploc.x, axis)
+                gy = jax.lax.all_gather(Ploc.y, axis)
+                gi = jax.lax.all_gather(Ploc.inf, axis)
+                bx, by, bi = _combine_stacked(F, gx, gy, gi)
+                return tail(bx, by, bi)
 
-        # NOTE: no collective inside the SPMD program — per-device bucket
-        # vectors come back sharded along the batch axis and the log-depth
-        # combine + tail run on the replicated output.  (An in-program
-        # all_gather deadlocks XLA:CPU's 40 s rendezvous when 8 virtual
-        # devices time-share the host cores; on real ICI the outside-SPMD
-        # combine lowers to the same gather.)
-        kwargs = dict(mesh=mesh,
-                      in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=(P(axis), P(axis), P(axis)))
-        try:
-            sm = shard_map(local, check_vma=False, **kwargs)
-        except TypeError:   # older JAX spelling
-            sm = shard_map(local, check_rep=False, **kwargs)
-        return sm(dw, x, y, inf)
+            sm = _shard_map(local, mesh=mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                            out_specs=(P(), P(), P()))
+            return sm(dw, x, y, inf)
+    else:
+        def step(dw, x, y, inf):
+            def local(dw_s, x_s, y_s, inf_s):
+                Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
+                return Ploc.x, Ploc.y, Ploc.inf
+
+            sm = _shard_map(local, mesh=mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                            out_specs=(P(axis), P(axis), P(axis)))
+            return sm(dw, x, y, inf)
 
     return jax.jit(step)
 
 
-def combine_bucket_shards(F, gx, gy, gi, ndev: int):
-    """(ndev*B, unit) sharded bucket vectors -> (B,) combined, log depth."""
-    B = gx.shape[0] // ndev
-    gx = gx.reshape((ndev, B) + gx.shape[1:])
-    gy = gy.reshape((ndev, B) + gy.shape[1:])
-    gi = gi.reshape(ndev, B)
-    n = ndev
+def _combine_stacked(F, gx, gy, gi):
+    """(n, B, unit) stacked bucket vectors -> (B, unit) combined, log
+    depth (n a power of two)."""
+    n = gx.shape[0]
+    B = gx.shape[1]
     while n > 1:
         half = n // 2
         A = AffinePoints(gx[:half].reshape((-1,) + gx.shape[2:]),
@@ -97,14 +146,26 @@ def combine_bucket_shards(F, gx, gy, gi, ndev: int):
     return gx[0], gy[0], gi[0]
 
 
+def combine_bucket_shards(F, gx, gy, gi, ndev: int):
+    """(ndev*B, unit) sharded bucket vectors -> (B,) combined, log depth."""
+    B = gx.shape[0] // ndev
+    return _combine_stacked(F,
+                            gx.reshape((ndev, B) + gx.shape[1:]),
+                            gy.reshape((ndev, B) + gy.shape[1:]),
+                            gi.reshape(ndev, B))
+
+
 def msm_sharded_v2(curve: SWCurve, points, scalars, mesh: Mesh,
                    c: int = 16, nbits: int | None = None,
-                   pad: int | None = None, axis: str = "data") -> Point:
+                   pad: int | None = None, axis: str = "data",
+                   collective: bool | None = None) -> Point:
     """Full sharded MSM; N must divide by the mesh size."""
     jc = jcurve_for(curve)
     F = jc.F
     if nbits is None:
         nbits = curve.scalar_field.bits
+    if collective is None:
+        collective = in_program_collective()
     if not isinstance(points, JPoints):
         points = jc.pack_points([p.normalize() for p in points])
     n = points.X.shape[0]
@@ -130,24 +191,32 @@ def msm_sharded_v2(curve: SWCurve, points, scalars, mesh: Mesh,
         maxc = max(maxc, 1)
         pad = 1 << (maxc - 1).bit_length()
 
-    step = make_sharded_window_step(jc, mesh, c, pad, axis)
+    step = make_sharded_window_step(jc, mesh, c, pad, axis, collective)
     engine = _engine_for(jc)
     tail = engine.tail_fn(c)
     outs = []
     for w in range(W):
-        gx, gy, gi = step(digits[w], points.X, points.Y, inf_mask)
-        # materialize the (ndev*B) bucket vectors on the default device:
-        # eager ops on still-sharded arrays would otherwise lower to
-        # cross-device collectives outside any mesh program
-        gx = jnp.asarray(jax.device_get(gx))
-        gy = jnp.asarray(jax.device_get(gy))
-        gi = jnp.asarray(jax.device_get(gi))
-        bx, by, binf = combine_bucket_shards(F, gx, gy, gi, ndev)
-        outs.append(tail(bx, by, binf))   # O(B) tail outside the SPMD program
+        if collective:
+            # final window point comes straight out of the SPMD program;
+            # dispatches stay async across windows (no host sync)
+            outs.append(step(digits[w], points.X, points.Y, inf_mask))
+        else:
+            gx, gy, gi = step(digits[w], points.X, points.Y, inf_mask)
+            # materialize the (ndev*B) bucket vectors on the default
+            # device: eager ops on still-sharded arrays would otherwise
+            # lower to cross-device collectives outside any mesh program
+            gx = jnp.asarray(jax.device_get(gx))
+            gy = jnp.asarray(jax.device_get(gy))
+            gi = jnp.asarray(jax.device_get(gi))
+            bx, by, binf = combine_bucket_shards(F, gx, gy, gi, ndev)
+            outs.append(tail(bx, by, binf))
 
-    xs = jnp.stack([o[0] for o in outs])
-    ys = jnp.stack([o[1] for o in outs])
-    infs = jnp.stack([o[2] for o in outs])
+    xs = jnp.stack([jnp.asarray(jax.device_get(o[0])) for o in outs]) \
+        if collective else jnp.stack([o[0] for o in outs])
+    ys = jnp.stack([jnp.asarray(jax.device_get(o[1])) for o in outs]) \
+        if collective else jnp.stack([o[1] for o in outs])
+    infs = jnp.stack([jnp.asarray(jax.device_get(o[2])) for o in outs]) \
+        if collective else jnp.stack([o[2] for o in outs])
     hx = np.atleast_1d(F.unpack_host(xs))
     hy = np.atleast_1d(F.unpack_host(ys))
     hinf = np.asarray(jax.device_get(infs))
