@@ -219,18 +219,27 @@ def affine_weighted_sum(F, P: AffinePoints) -> AffinePoints:
 # engine
 # ---------------------------------------------------------------------------
 
-def batch_inv_t(F, v: jnp.ndarray, mulT) -> jnp.ndarray:
-    """Transposed-layout batch inversion: v (L, n) nonzero -> elementwise
+def _inv_t(F, v: jnp.ndarray) -> jnp.ndarray:
+    """Transposed (U, n) -> elementwise inverses via F.inv (U = prod of
+    F.unit_shape; works for base and tower fields)."""
+    U, n = v.shape
+    std = v.T.reshape((n,) + tuple(F.unit_shape))
+    return F.inv(std).reshape(n, U).T
+
+
+def batch_inv_t(F, v: jnp.ndarray, mulT, blk: int = 512) -> jnp.ndarray:
+    """Transposed-layout batch inversion: v (U, n) nonzero -> elementwise
     inverses, via the half-split product tree (3 muls/elem amortized) with
-    every mul running the fused Pallas Montgomery kernel (`mulT`)."""
-    L, n = v.shape
+    every mul running the fused Pallas Montgomery kernel (`mulT`; U = L for
+    the base field, 2L for Fq2)."""
+    U, n = v.shape
 
     def pad_to_block(a):
         b = a.shape[1]
-        pad = (-b) % 512
+        pad = (-b) % blk
         if pad == 0:
             return a, b
-        onev = jnp.zeros((L, pad), jnp.int32).at[0, :].set(1)
+        onev = jnp.zeros((U, pad), jnp.int32).at[0, :].set(1)
         return jnp.concatenate([a, onev], axis=1), b
 
     def mul(a, b):
@@ -240,14 +249,14 @@ def batch_inv_t(F, v: jnp.ndarray, mulT) -> jnp.ndarray:
         return mulT(ap, bp)[:, :m]
 
     if n == 1:
-        return F.inv(v.T).T
+        return _inv_t(F, v)
     levels = [v]
     cur = v
     while cur.shape[1] > 1:
         h = cur.shape[1] // 2
         cur = mul(cur[:, :h], cur[:, h:])
         levels.append(cur)
-    root_inv = F.inv(cur.T).T                    # (L, 1)
+    root_inv = _inv_t(F, cur)                    # (U, 1)
     inv = root_inv
     for lev in reversed(levels[:-1]):
         h = lev.shape[1] // 2
@@ -334,23 +343,39 @@ class DeviceMSM:
                 acc = P if acc is None else affine_pair_add(F, acc, P)
             return acc, maxc
 
-        if jax.default_backend() != "tpu" or F.unit_ndim != 1:
+        on_tpu = (jax.default_backend() == "tpu"
+                  or bool(__import__("os").environ.get(
+                      "CRYPTO_TPU_FORCE_TPU_MSM")))
+        if not on_tpu or F.unit_ndim not in (1, 2):
             return bucket_sums
         return self._bucket_sums_tpu(c, PAD, rounds)
 
     def _bucket_sums_tpu(self, c: int, PAD: int, rounds: int):
         """TPU variant: the halving levels run as fused Pallas kernels in
-        transposed (L, M) layout; the rank-major half-split pairing keeps
-        every level a contiguous slab (no strided relayouts)."""
+        transposed (U, M) layout (U = L for G1/Fq, 2L for G2/Fq2); the
+        rank-major half-split pairing keeps every level a contiguous slab
+        (no strided relayouts)."""
         B = 1 << (c - 1)
         F = self.F
-        L = F.L
-        from .pallas.curve_kernels import affine_kernels_for
-        from .pallas.field_kernels import mont_mul_t_fn
-        pre, post = affine_kernels_for(L, F.p, F.field.Ninv_R)
-        mulT = mont_mul_t_fn(L, F.p, F.field.Ninv_R)
-
-        BLK = 512   # affine kernels' pallas block (one-hot mul VMEM bound)
+        if F.unit_ndim == 1:
+            from .pallas.curve_kernels import affine_kernels_for
+            from .pallas.field_kernels import mont_mul_t_fn
+            base = F
+            pre, post = affine_kernels_for(base.L, base.p, base.field.Ninv_R)
+            mulT = mont_mul_t_fn(base.L, base.p, base.field.Ninv_R)
+            BLK = 512   # affine kernels' pallas block (one-hot VMEM bound)
+        else:           # Fq2 (G2)
+            from .pallas.curve_kernels import (affine_kernels_for_fq2,
+                                               fq2_mul_t_fn, FQ2_BLOCK)
+            base = F.base
+            assert F.beta_is_m1, "fused Fq2 kernels assume beta == -1"
+            pre, post = affine_kernels_for_fq2(base.L, base.p,
+                                               base.field.Ninv_R)
+            mulT = fq2_mul_t_fn(base.L, base.p, base.field.Ninv_R)
+            BLK = FQ2_BLOCK
+        L = base.L
+        U = L * (1 if F.unit_ndim == 1 else 2)
+        ush = tuple(F.unit_shape)
 
         def halve_t(xT, yT, mT):
             h = xT.shape[1] // 2
@@ -359,7 +384,7 @@ class DeviceMSM:
             m1, m2 = mT[:, :h], mT[:, h:]
             pad = (-h) % BLK
             if pad:
-                zL = jnp.zeros((L, pad), jnp.int32)
+                zL = jnp.zeros((U, pad), jnp.int32)
                 z1 = jnp.ones((1, pad), jnp.int32)
                 x1 = jnp.concatenate([x1, zL], axis=1)
                 x2 = jnp.concatenate([x2, zL], axis=1)
@@ -368,7 +393,7 @@ class DeviceMSM:
                 m1 = jnp.concatenate([m1, z1], axis=1)   # dead lanes
                 m2 = jnp.concatenate([m2, z1], axis=1)
             d, dbl, inf3 = pre(x1, y1, m1, x2, y2, m2)
-            dinv = batch_inv_t(F, d, mulT)
+            dinv = batch_inv_t(F, d, mulT, BLK)
             x3, y3 = post(x1, y1, x2, y2, dinv, dbl, m1, m2)
             if pad:
                 x3 = x3[:, :h]
@@ -393,7 +418,8 @@ class DeviceMSM:
             # reads HALF the rows-bytes and the per-slot sign gather
             # disappears.  Built per window (~N-row elementwise work).
             y_signed = F.select(dw < 0, F.neg(y), y)
-            xy = x | (y_signed << 15)                     # (N, L), 30-bit
+            xy = (x | (y_signed << 15)).reshape(
+                x.shape[0], -1)                           # (N, U), 30-bit
             use_dma = bool(__import__("os").environ.get(
                 "CRYPTO_TPU_DMA_GATHER"))
             accx = accy = accm = None
@@ -405,9 +431,9 @@ class DeviceMSM:
                 if use_dma:
                     # scalar-prefetch DMA gather emits transposed directly
                     from .pallas.field_kernels import gather_rows_t_fn
-                    sxyT = gather_rows_t_fn(L)(xy, srcp.astype(jnp.int32))
+                    sxyT = gather_rows_t_fn(U)(xy, srcp.astype(jnp.int32))
                 else:
-                    sxyT = xy[srcp].T                     # (L, M)
+                    sxyT = xy[srcp].T                     # (U, M)
                 xT = sxyT & 0x7FFF
                 yT = sxyT >> 15
                 mT = (~valid).astype(jnp.int32)[None, :]
@@ -420,7 +446,9 @@ class DeviceMSM:
                         jnp.concatenate([accx, xT], axis=1),
                         jnp.concatenate([accy, yT], axis=1),
                         jnp.concatenate([accm, mT], axis=1))
-            return AffinePoints(accx.T, accy.T, accm[0] > 0), maxc
+            outx = accx.T.reshape((accx.shape[1],) + ush)
+            outy = accy.T.reshape((accy.shape[1],) + ush)
+            return AffinePoints(outx, outy, accm[0] > 0), maxc
 
         return bucket_sums
 

@@ -549,6 +549,208 @@ def affine_kernels_for(L: int, p_int: int, ninv_int: int,
     return call_pre, call_post
 
 
+class Fq2Ctx:
+    """Transposed-layout Fq2 ops over a `FieldCtx` base: one element is a
+    (2L, B) slab — c0 limbs in rows [:L], c1 in rows [L:].  All arithmetic
+    is componentwise base-field work (Karatsuba mul: 3 base muls), so every
+    op stays exact-int32/f32 like `FieldCtx`.  Assumes the quadratic
+    non-residue beta == -1 (true for the BLS12-381 and BN254 towers this
+    framework instantiates, `fields/jtower.py`)."""
+
+    def __init__(self, L: int, p_int: int, ninv_int: int,
+                 onehot: bool = False):
+        self.base = FieldCtx(L, p_int, ninv_int, onehot=onehot)
+        self.L = L
+        self.U = 2 * L
+        self.names = self.base.names
+        self.tables = self.base.tables
+        self.shapes = self.base.shapes
+
+    def _split(self, a):
+        return a[:self.L], a[self.L:]
+
+    def _cat(self, c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def mul(self, c, a, b):
+        F = self.base
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        v0 = F.mul(c, a0, b0)
+        v1 = F.mul(c, a1, b1)
+        t = F.mul(c, F.add(c, a0, a1), F.add(c, b0, b1))
+        # beta = -1: c0 = v0 - v1, c1 = t - v0 - v1
+        return self._cat(F.sub(c, v0, v1), F.sub(c, F.sub(c, t, v0), v1))
+
+    def square(self, c, a):
+        F = self.base
+        a0, a1 = self._split(a)
+        t0 = F.mul(c, a0, a1)
+        t1 = F.mul(c, F.add(c, a0, a1), F.sub(c, a0, a1))
+        return self._cat(t1, F.add(c, t0, t0))
+
+    def add(self, c, a, b):
+        F = self.base
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return self._cat(F.add(c, a0, b0), F.add(c, a1, b1))
+
+    def sub(self, c, a, b):
+        F = self.base
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return self._cat(F.sub(c, a0, b0), F.sub(c, a1, b1))
+
+    def dbl(self, c, a):
+        return self.add(c, a, a)
+
+    def neg(self, c, a):
+        F = self.base
+        a0, a1 = self._split(a)
+        return self._cat(F.neg(c, a0), F.neg(c, a1))
+
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=0, keepdims=True)
+
+    @staticmethod
+    def select(mask, a, b):
+        return jnp.where(mask, a, b)
+
+
+# Fq2 blocks are half the base-field blocks: the (2L, B) coords plus the
+# onehot (L*L, B) mul intermediates double the VMEM live set per lane.
+FQ2_BLOCK = 256
+
+
+@functools.lru_cache(maxsize=None)
+def affine_kernels_for_fq2(L: int, p_int: int, ninv_int: int,
+                           block_b: int = FQ2_BLOCK):
+    """Fq2 (G2) variant of `affine_kernels_for`: one batched-affine halving
+    level as two fused kernels in transposed (2L, B) layout.  Used by the
+    G2 MSM TPU path (`ops/msm_v2.py`) so TIPP/MIPP aggregation and CRS
+    `b_g2_query` generation run fused (reference G2 MSM call sites:
+    `legogroth16/src/aggregation/groth16/prover.rs:46`)."""
+    F = Fq2Ctx(L, p_int, ninv_int, onehot=True)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+    U = 2 * L
+
+    def io_spec(rows, blk):
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    NC = len(F.names)
+
+    def pre_kernel(x1, y1, m1, x2, y2, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        od, odbl, oinf = rest[NC], rest[NC + 1], rest[NC + 2]
+        X1, Y1, X2, Y2 = x1[:], y1[:], x2[:], y2[:]
+        i1 = m1[:] > 0
+        i2 = m2[:] > 0
+        same_x = jnp.all(X1 == X2, axis=0, keepdims=True)
+        y2n = F.neg(c, Y2)
+        y_opp = jnp.all(Y1 == y2n, axis=0, keepdims=True)
+        both = (~i1) & (~i2)
+        is_dbl = same_x & (~y_opp) & both
+        is_inf3 = (same_x & y_opp & both) | (i1 & i2)
+        dead = (~both) | is_inf3
+        d = jnp.where(is_dbl, F.dbl(c, Y1), F.sub(c, X2, X1))
+        onev = jnp.concatenate(
+            [jnp.ones((1, d.shape[1]), jnp.int32),
+             jnp.zeros((d.shape[0] - 1, d.shape[1]), jnp.int32)], axis=0)
+        zero_d = jnp.all(d == 0, axis=0, keepdims=True)
+        d = jnp.where(dead | zero_d, onev, d)
+        od[:] = d
+        odbl[:] = is_dbl.astype(jnp.int32)
+        oinf[:] = is_inf3.astype(jnp.int32)
+
+    def post_kernel(x1, y1, x2, y2, dinv, mdbl, m1, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        ox, oy = rest[NC], rest[NC + 1]
+        X1, Y1, X2, Y2, DI = x1[:], y1[:], x2[:], y2[:], dinv[:]
+        is_dbl = mdbl[:] > 0
+        i1 = m1[:] > 0
+        i2 = m2[:] > 0
+        x1sq = F.square(c, X1)
+        num = jnp.where(is_dbl, F.add(c, F.dbl(c, x1sq), x1sq),
+                        F.sub(c, Y2, Y1))
+        lam = F.mul(c, num, DI)
+        x3 = F.sub(c, F.sub(c, F.square(c, lam), X1), X2)
+        y3 = F.sub(c, F.mul(c, lam, F.sub(c, X1, x3)), Y1)
+        x3 = jnp.where(i1, X2, jnp.where(i2 & (~i1), X1, x3))
+        y3 = jnp.where(i1, Y2, jnp.where(i2 & (~i1), Y1, y3))
+        ox[:] = x3
+        oy[:] = y3
+
+    def call_pre(x1, y1, m1, x2, y2, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            pre_kernel,
+            out_shape=(jax.ShapeDtypeStruct((U, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(U, block_b), io_spec(U, block_b),
+                      io_spec(1, block_b), io_spec(U, block_b),
+                      io_spec(U, block_b), io_spec(1, block_b)] + const_specs,
+            out_specs=(io_spec(U, block_b), io_spec(1, block_b),
+                       io_spec(1, block_b)),
+        )(x1, y1, m1, x2, y2, m2, *consts)
+
+    def call_post(x1, y1, x2, y2, dinv, mdbl, m1, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            post_kernel,
+            out_shape=(jax.ShapeDtypeStruct((U, B), jnp.int32),
+                       jax.ShapeDtypeStruct((U, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(U, block_b)] * 5
+            + [io_spec(1, block_b)] * 3 + const_specs,
+            out_specs=(io_spec(U, block_b), io_spec(U, block_b)),
+        )(x1, y1, x2, y2, dinv, mdbl, m1, m2, *consts)
+
+    return call_pre, call_post
+
+
+@functools.lru_cache(maxsize=None)
+def fq2_mul_t_fn(L: int, p_int: int, ninv_int: int,
+                 block_b: int = FQ2_BLOCK):
+    """Batched Fq2 Montgomery mul in transposed layout:
+    (2L, B) x (2L, B) -> (2L, B), Karatsuba fused in one kernel.  B must be
+    a multiple of block_b (callers pad).  Feeds `batch_inv_t` on the G2 MSM
+    path."""
+    F = Fq2Ctx(L, p_int, ninv_int, onehot=True)
+    consts = [np.asarray(F.tables[n]) for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+    U = 2 * L
+    NC = len(F.names)
+
+    def kernel(a_ref, b_ref, *rest):
+        cvals = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        rest[NC][:] = F.mul(cvals, a_ref[:], b_ref[:])
+
+    def run(a_t, b_t):
+        B = a_t.shape[1]
+        spec = pl.BlockSpec((U, block_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((U, B), jnp.int32),
+            grid=(B // block_b,),
+            in_specs=[spec, spec] + const_specs,
+            out_specs=spec,
+        )(a_t, b_t, *consts)
+
+    return run
+
+
 def _pad_t(x, block_b, fill=0):
     B = x.shape[1]
     pad = (-B) % block_b

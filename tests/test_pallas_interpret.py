@@ -98,3 +98,89 @@ def test_dma_gather_interpret_mode():
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     assert "GATHER OK" in out.stdout, out.stderr[-2000:]
+
+
+SCRIPT_FQ2 = r"""
+import os
+os.environ["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+os.environ["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import random
+import numpy as np
+import jax.numpy as jnp
+from crypto_tpu.curves import bls12_381 as bls
+from crypto_tpu.fields.jtower import jquad_for
+rng = random.Random(5)
+F2 = jquad_for(bls.Fq2)
+L = F2.base.L
+
+# 1. fused Fq2 Karatsuba mul kernel vs host tower
+from crypto_tpu.ops.pallas.curve_kernels import fq2_mul_t_fn, FQ2_BLOCK
+mulT2 = fq2_mul_t_fn(L, F2.base.p, F2.base.field.Ninv_R)
+xs = [bls.Fq2.rand(rng) for _ in range(4)]
+ys = [bls.Fq2.rand(rng) for _ in range(4)]
+X = F2.pack(xs); Y = F2.pack(ys)               # (4, 2, L)
+pad = FQ2_BLOCK - 4
+def padT(a):
+    a2 = a.reshape(a.shape[0], -1)
+    return jnp.concatenate([a2, jnp.zeros((pad, 2 * L), jnp.int32)]).T
+outT = np.asarray(mulT2(padT(X), padT(Y)))
+got = F2.unpack_host(jnp.asarray(outT.T[:4].reshape(4, 2, L)))
+assert list(got) == [a * b for a, b in zip(xs, ys)], "fq2 mul kernel mismatch"
+print("fq2_mul_t interpret OK")
+
+# 2. batch_inv_t over Fq2 (dead lanes must be nonzero, like `pre` emits)
+from crypto_tpu.ops.msm_v2 import batch_inv_t
+vT = padT(X).at[0, 4:].set(1)
+inv = batch_inv_t(F2, vT, mulT2, FQ2_BLOCK)
+goti = F2.unpack_host(jnp.asarray(np.asarray(inv).T[:4].reshape(4, 2, L)))
+one = bls.Fq2.one()
+assert all((a * b) == one for a, b in zip(xs, goti)), "fq2 batch_inv_t"
+print("fq2 batch_inv_t interpret OK")
+
+# 3. fused G2 bucket-sums stage (packing + gather + fq2 halving kernels)
+# vs the generic jnp path on identical inputs.  (The full MSM tail is too
+# slow under the interpreter; it is generic-field code covered by
+# test_jcurve_g2 / test_msm_v2.)
+from crypto_tpu.curves.jcurve import jcurve_for
+from crypto_tpu.ops.msm_v2 import (_engine_for, device_digits,
+                                   scalars_to_bytes)
+jc = jcurve_for(bls.G2)
+engine = _engine_for(jc)
+n, c, padb = 8, 8, 2
+pts = [bls.G2.rand(rng).normalize() for _ in range(n)]
+packed = jc.pack_points(pts)
+scal = [rng.randrange(1 << 16) for _ in range(n)]
+digits = device_digits(jnp.asarray(scalars_to_bytes(scal, 2)), c, 16)
+inf = jc.is_infinity(packed)
+fused = engine.bucket_sums_fn(c, padb)           # TPU path (forced)
+del os.environ["CRYPTO_TPU_FORCE_TPU_MSM"]
+generic = engine.bucket_sums_fn(c, padb)         # generic jnp path
+Pf, _ = fused(digits[0], packed.X, packed.Y, inf)
+Pg, _ = generic(digits[0], packed.X, packed.Y, inf)
+inf_f = np.asarray(Pf.inf)
+inf_g = np.asarray(Pg.inf)
+assert (inf_f == inf_g).all(), "G2 bucket inf mask mismatch"
+xf = F2.unpack_host(Pf.x); yf = F2.unpack_host(Pf.y)
+xg = F2.unpack_host(Pg.x); yg = F2.unpack_host(Pg.y)
+for i in range(len(inf_f)):
+    if not inf_f[i]:
+        assert xf[i] == xg[i] and yf[i] == yg[i], f"G2 bucket {i}"
+print("G2 fused bucket sums interpret OK")
+"""
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_fq2_kernels_interpret_mode():
+    env = dict(os.environ)
+    env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+    env["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+    out = subprocess.run([sys.executable, "-c", SCRIPT_FQ2], env=env,
+                         capture_output=True, text=True, timeout=1800,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "G2 fused bucket sums interpret OK" in out.stdout, \
+        out.stderr[-3000:] + out.stdout[-500:]
