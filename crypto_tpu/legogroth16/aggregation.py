@@ -647,3 +647,74 @@ def _gipa_verify(proof, r_shift, transcript):
     final_r = polynomial_evaluation_product_form(challenges_inv, r_shift,
                                                  F(1))
     return res, final_r, challenges, challenges_inv
+
+
+# ---------------------------------------------------------------------------
+# LegoGroth16 aggregation via plain Groth16 TIPP/MIPP
+# (reference aggregation/legogroth16/using_groth16.rs:29-128)
+# ---------------------------------------------------------------------------
+
+class _ABCProof:
+    """Groth16-shaped view of a Lego proof (a, b, c only; d withheld)."""
+    __slots__ = ("a", "b", "c")
+
+    def __init__(self, p):
+        self.a, self.b, self.c = p.a, p.b, p.c
+
+
+def aggregate_proofs_using_groth16(srs: ProverSRS, transcript: Transcript,
+                                   lego_proofs: list):
+    """Aggregate LegoGroth16 proofs with the PLAIN Groth16 TIPP/MIPP
+    (`using_groth16.rs:29-45`): since D is needed standalone for Schnorr
+    openings, it is NOT folded into an IPA — the (A,B,C) parts aggregate as
+    Groth16 proofs and the D vector is returned as-is for the verifier to
+    fold with the r-powers."""
+    agg = aggregate_proofs(srs, transcript,
+                           [_ABCProof(p) for p in lego_proofs])
+    return agg, [p.d for p in lego_proofs]
+
+
+def verify_aggregate_proof_using_groth16(v_srs: VerifierSRS, vk,
+                                         public_inputs: list,
+                                         proof: AggregateProof, d: list,
+                                         rng, transcript: Transcript,
+                                         pairing_checker=None) -> bool:
+    """`using_groth16.rs:47-128`: standard TIPP/MIPP verification, then the
+    aggregate Groth16 equation with the gamma source extended by
+    sum_j r^j D_j:  z_ab = e(alpha*r_sum, beta) *
+    e(inp + sum r^j D_j, gamma) * e(z_c, delta)."""
+    proof.parsing_check()
+    if len(public_inputs) != proof.gipa.nproofs:
+        raise AggregationError("public input count != proof count")
+    if len(d) != proof.gipa.nproofs:
+        raise AggregationError("D count != proof count")
+    transcript.append(b"AB-commitment", proof.com_ab)
+    transcript.append(b"C-commitment", proof.com_c)
+    r = transcript.challenge_scalar(F, b"r-random-fiatshamir")
+    checker = pairing_checker or RandomizedPairingChecker(
+        F.rand(rng), lazy=True)
+
+    if not _verify_tipp_mipp(v_srs, proof, r, transcript, checker):
+        return False
+
+    n = proof.gipa.nproofs
+    r_powers = powers(r, n)
+    r_sum = F(0)
+    for p in r_powers:
+        r_sum = r_sum + p
+
+    num_inputs = len(public_inputs[0])
+    summed = [r_sum]
+    for i in range(num_inputs):
+        acc = public_inputs[0][i]
+        for j in range(1, n):
+            acc = acc + public_inputs[j][i] * r_powers[j]
+        summed.append(acc)
+    inp = msm(vk.gamma_abc_g1[:num_inputs + 1], summed)
+    d_r = msm(d, r_powers)
+
+    source1 = [(vk.alpha_g1 * int(r_sum)).normalize(),
+               (d_r + inp).normalize(), proof.z_c]
+    source2 = [vk.beta_g2, vk.gamma_g2, vk.delta_g2]
+    checker.add_multiple_sources_and_target(source1, source2, proof.z_ab)
+    return checker.verify()

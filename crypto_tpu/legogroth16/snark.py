@@ -206,10 +206,13 @@ def generate_random_parameters(circuit, commit_witness_count: int, rng,
 
 def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
                                        alpha, beta, gamma, delta,
-                                       eta, ctx=bls) -> ProvingKey:
+                                       eta, ctx=bls, g1=None,
+                                       g2=None) -> ProvingKey:
     """CRS from explicit toxic waste — needed by SAVER, which binds the
     encryption key to (gamma, delta) of the SNARK CRS
-    (`saver/src/saver_groth16.rs:52-80`)."""
+    (`saver/src/saver_groth16.rs:52-80`).  g1/g2 override the group
+    generators (the SAVER LegoGroth16 wrapper builds the CRS over its
+    `EncryptionGens` bases, `saver/src/saver_legogroth16.rs:32-64`)."""
     F = ctx.Fr
     cs = ConstraintSystem(F, mode="setup")
     circuit(cs)
@@ -254,8 +257,10 @@ def generate_parameters_with_trapdoors(circuit, commit_witness_count: int, rng,
     l = [(int(beta) * a[i] + int(alpha) * b[i] + c[i]) * delta_inv % p
          for i in range(nvars)]
 
-    g1 = ctx.G1.generator()
-    g2 = ctx.G2.generator()
+    if g1 is None:
+        g1 = ctx.G1.generator()
+    if g2 is None:
+        g2 = ctx.G2.generator()
 
     a_query = _fixed_base_many(g1, [F(x) for x in a])
     b_g1_query = _fixed_base_many(g1, [F(x) for x in b])
@@ -420,16 +425,24 @@ def prepare_inputs(vk: VerifyingKey, public_inputs, ctx=bls) -> Point:
     return msm_host(vk.gamma_abc_g1[:len(inp)], inp)
 
 
-def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs,
-                 ctx=bls) -> bool:
-    """3-pairing check (`verifier.rs:64-110`)."""
+def verify_qap_proof(pvk: PreparedVerifyingKey, a: Point, b: Point,
+                     c: Point, d: Point, ctx=bls) -> bool:
+    """The bare 3-pairing QAP check with a fully-formed d accumulator
+    (`verifier.rs:62-85` `verify_qap_proof`); callers that fold extra terms
+    into d (the SAVER wrappers) use this directly."""
     vk = pvk.vk
-    d = (prepare_inputs(vk, public_inputs, ctx) + proof.d).normalize()
     neg_delta = (-vk.delta_g2).normalize()
     neg_gamma = (-vk.gamma_g2).normalize()
     lhs = ctx.multi_pairing([
-        (proof.a, proof.b), (proof.c, neg_delta), (d, neg_gamma)])
+        (a, b), (c, neg_delta), (d.normalize(), neg_gamma)])
     return lhs == pvk.alpha_beta
+
+
+def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs,
+                 ctx=bls) -> bool:
+    """3-pairing check (`verifier.rs:64-110`)."""
+    d = prepare_inputs(pvk.vk, public_inputs, ctx) + proof.d
+    return verify_qap_proof(pvk, proof.a, proof.b, proof.c, d, ctx)
 
 
 def verify_proof_with_checker(pvk: PreparedVerifyingKey, proof: Proof,
