@@ -22,13 +22,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # build to a process-unique temp path, then os.replace (atomic): several
+    # test workers (pytest-xdist) may race to build the same library
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB, _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -98,12 +106,18 @@ def get_wasm_lib():
     _wasm_tried = True
     if not os.path.exists(_WASM_LIB) or \
             os.path.getmtime(_WASM_LIB) < os.path.getmtime(_WASM_SRC):
+        tmp = f"{_WASM_LIB}.{os.getpid()}.tmp"
         try:
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                 "-o", _WASM_LIB, _WASM_SRC],
+                 "-o", tmp, _WASM_SRC],
                 check=True, capture_output=True, timeout=180)
+            os.replace(tmp, _WASM_LIB)
         except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     try:
         lib = ctypes.CDLL(_WASM_LIB)

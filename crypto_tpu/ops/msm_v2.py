@@ -42,6 +42,8 @@ Reference: replaces arkworks `VariableBaseMSM::msm_bigint` call sites
 from __future__ import annotations
 
 import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -219,6 +221,36 @@ def affine_weighted_sum(F, P: AffinePoints) -> AffinePoints:
 # engine
 # ---------------------------------------------------------------------------
 
+def _layout_plan(dw, inf, B: int):
+    """One window's bucket-sort plan: (order (N,), starts (B,), counts (B,))."""
+    absd = jnp.abs(dw)
+    live = (absd > 0) & (~inf)
+    keys = jnp.where(live, absd - 1, B).astype(jnp.int32)
+    order = jnp.argsort(keys, stable=True)
+    sk = keys[order]
+    starts = jnp.searchsorted(sk, jnp.arange(B, dtype=jnp.int32))
+    ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
+    counts = (ends - starts).astype(jnp.int32)
+    return order, starts.astype(jnp.int32), counts
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _plan_windows(digits, inf_mask, B):
+    """All windows' plans in ONE program: digits (W, N) ->
+    (order (W, N), starts (W, B), counts (W, B), occs (W,)).  The per-window
+    bucket programs reuse this sort instead of re-sorting (the occupancy
+    pass needed it anyway)."""
+    orders, starts, counts = [], [], []
+    for w in range(digits.shape[0]):
+        o, s, cn = _layout_plan(digits[w], inf_mask, B)
+        orders.append(o)
+        starts.append(s)
+        counts.append(cn)
+    counts = jnp.stack(counts)
+    return (jnp.stack(orders), jnp.stack(starts), counts,
+            jnp.max(counts, axis=1))
+
+
 def _inv_t(F, v: jnp.ndarray) -> jnp.ndarray:
     """Transposed (U, n) -> elementwise inverses via F.inv (U = prod of
     F.unit_shape; works for base and tower fields)."""
@@ -290,6 +322,29 @@ class DeviceMSM:
             ox, oy, oinf = tail(P.x, P.y, P.inf)
             return ox, oy, oinf, maxc
 
+        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        self._jits[key] = prog
+        return prog
+
+    def window_program_planned(self, N: int, c: int, PAD: int,
+                               rounds: int = 1):
+        """Fused bucket-sums + tail taking the precomputed sort plan.
+        Measured on v5e: the fused-in-window tail (61 ms) beats the
+        (W,)-batched standalone tail program (2.2 s for 16 windows — XLA
+        schedules the composed Jacobian reductions poorly when they are
+        the whole program); enable the batched tail with
+        CRYPTO_TPU_BATCHED_TAIL=1."""
+        key = ("wp", N, c, PAD, rounds)
+        if key in self._jits:
+            return self._jits[key]
+        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True)
+        tail = self.tail_fn(c)
+
+        def full(dw, x, y, inf, order, starts, counts):
+            P, maxc = bucket_sums(dw, x, y, inf, order, starts, counts)
+            ox, oy, oinf = tail(P.x, P.y, P.inf)
+            return ox, oy, oinf
+
         # On CPU (tests) run eagerly: each field op dispatches its own small
         # cached jit instead of one mega-graph whose XLA:CPU compile takes
         # minutes.  On TPU the fused program amortizes the remote dispatch.
@@ -297,9 +352,15 @@ class DeviceMSM:
         self._jits[key] = prog
         return prog
 
-    def bucket_sums_fn(self, c: int, PAD: int, rounds: int = 1):
+    def bucket_sums_fn(self, c: int, PAD: int, rounds: int = 1,
+                       planned: bool = False):
         """dw (N,), x/y (N, unit), inf (N,) -> (AffinePoints (B,), max
         occupancy): digit-bucket layout + batched-affine halving reduction.
+
+        `planned=True` returns a variant taking the precomputed sort plan
+        (order, starts, counts) from `_plan_windows` — one batched plan
+        program replaces the per-window argsort+searchsorted (~40 ms/window
+        at 2^20 on v5e, and the occupancy pass needs the same sort anyway).
 
         `rounds`: buckets can hold up to rounds*PAD entries — each round
         lays out ranks [r*PAD, (r+1)*PAD) and accumulates into a running
@@ -312,15 +373,9 @@ class DeviceMSM:
         B = 1 << (c - 1)
         F = self.F
 
-        def bucket_sums(dw, x, y, inf):
-            absd = jnp.abs(dw)
-            live = (absd > 0) & (~inf)
-            keys = jnp.where(live, absd - 1, B).astype(jnp.int32)
-            order = jnp.argsort(keys, stable=True)
-            sk = keys[order]
-            starts = jnp.searchsorted(sk, jnp.arange(B, dtype=jnp.int32))
-            ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
-            counts = (ends - starts).astype(jnp.int32)
+        def bucket_sums(dw, x, y, inf, order=None, starts=None, counts=None):
+            if order is None:
+                order, starts, counts = _layout_plan(dw, inf, B)
             maxc = jnp.max(counts)
             # RANK-MAJOR layout: slot = rank*B + bucket, so the half-split
             # pairing of `affine_halve` always pairs same-bucket entries
@@ -347,8 +402,12 @@ class DeviceMSM:
                   or bool(__import__("os").environ.get(
                       "CRYPTO_TPU_FORCE_TPU_MSM")))
         if not on_tpu or F.unit_ndim not in (1, 2):
-            return bucket_sums
-        return self._bucket_sums_tpu(c, PAD, rounds)
+            fn = bucket_sums
+        else:
+            fn = self._bucket_sums_tpu(c, PAD, rounds)
+        if planned:
+            return fn
+        return lambda dw, x, y, inf: fn(dw, x, y, inf)
 
     def _bucket_sums_tpu(self, c: int, PAD: int, rounds: int):
         """TPU variant: the halving levels run as fused Pallas kernels in
@@ -401,15 +460,9 @@ class DeviceMSM:
                 inf3 = inf3[:, :h]
             return x3, y3, inf3
 
-        def bucket_sums(dw, x, y, inf):
-            absd = jnp.abs(dw)
-            live = (absd > 0) & (~inf)
-            keys = jnp.where(live, absd - 1, B).astype(jnp.int32)
-            order = jnp.argsort(keys, stable=True)
-            sk = keys[order]
-            starts = jnp.searchsorted(sk, jnp.arange(B, dtype=jnp.int32))
-            ends = jnp.searchsorted(sk, jnp.arange(1, B + 1, dtype=jnp.int32))
-            counts = (ends - starts).astype(jnp.int32)
+        def bucket_sums(dw, x, y, inf, order=None, starts=None, counts=None):
+            if order is None:
+                order, starts, counts = _layout_plan(dw, inf, B)
             maxc = jnp.max(counts)
             bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
             rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
@@ -429,9 +482,11 @@ class DeviceMSM:
                 valid = rank < counts[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
                 if use_dma:
-                    # scalar-prefetch DMA gather emits transposed directly
+                    # scalar-prefetch DMA gather emits transposed directly;
+                    # dead slots (idx -1) issue no DMA at all
                     from .pallas.field_kernels import gather_rows_t_fn
-                    sxyT = gather_rows_t_fn(U)(xy, srcp.astype(jnp.int32))
+                    srcd = jnp.where(valid, srcp, -1).astype(jnp.int32)
+                    sxyT = gather_rows_t_fn(U)(xy, srcd)
                 else:
                     sxyT = xy[srcp].T                     # (U, M)
                 xT = sxyT & 0x7FFF
@@ -616,15 +671,16 @@ class DeviceMSM:
         return tail_b
 
     def bucket_program(self, N: int, c: int, PAD: int, rounds: int = 1):
-        """Jit cache for the bucket-sums-only program (tail runs separately,
-        batched across windows — see `tail_batched_fn`)."""
+        """Jit cache for the bucket-sums-only program taking the precomputed
+        sort plan (tail runs separately, batched across windows — see
+        `tail_batched_fn`)."""
         key = ("bs", N, c, PAD, rounds)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self.bucket_sums_fn(c, PAD, rounds)
+        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True)
 
-        def bs(dw, x, y, inf):
-            P, maxc = bucket_sums(dw, x, y, inf)
+        def bs(dw, x, y, inf, order, starts, counts):
+            P, maxc = bucket_sums(dw, x, y, inf, order, starts, counts)
             return P.x, P.y, P.inf
 
         prog = bs if jax.default_backend() == "cpu" else jax.jit(bs)
@@ -725,8 +781,9 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
             and scalars.dtype == jnp.int32:
         digits = scalars
     else:
-        if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint8:
-            sbytes = scalars
+        if isinstance(scalars, (np.ndarray, jnp.ndarray)) \
+                and scalars.dtype == np.uint8:
+            sbytes = scalars      # device-staged LE bytes pass through
         else:
             W_ = (nbits + c) // c
             nbytes = (W_ * c + 7) // 8
@@ -751,13 +808,14 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     # halving level; PAD_MAX=64 keeps the 2^20/c=16 working set ~2 GB
     # (PAD=128 peaked at 21 GB > 16 GB HBM on v5e)
     PAD_MAX = 64
+    order, starts, counts, occs_d = _plan_windows(digits, inf_mask,
+                                                  1 << (c - 1))
     if pad is None:
-        occs = np.asarray(jax.device_get(
-            _window_occupancies(digits, inf_mask, 1 << (c - 1))))
-        occs = np.maximum(occs, 1)
+        occs = np.maximum(np.asarray(jax.device_get(occs_d)), 1)
     else:
         occs = np.full((W,), pad, dtype=np.int64)
-    bouts = []
+    batched_tail = bool(os.environ.get("CRYPTO_TPU_BATCHED_TAIL"))
+    wouts = []
     for w in range(W):
         occ = int(occs[w])
         pad_w = 1 << (occ - 1).bit_length()
@@ -765,17 +823,25 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
         if pad_w > PAD_MAX:
             pad_w = PAD_MAX
             rounds = (occ + PAD_MAX - 1) // PAD_MAX
-        prog = engine.bucket_program(N, c, pad_w, rounds)
-        bouts.append(prog(digits[w], points.X, points.Y, inf_mask))
+        if batched_tail:
+            prog = engine.bucket_program(N, c, pad_w, rounds)
+        else:
+            prog = engine.window_program_planned(N, c, pad_w, rounds)
+        wouts.append(prog(digits[w], points.X, points.Y, inf_mask,
+                          order[w], starts[w], counts[w]))
 
-    # ONE batched tail over all windows: the tail's sequential Horner /
-    # doubling chains are latency-bound, so running them (W,)-wide pays
-    # that latency once instead of W times (saves ~0.9 s at 2^20/c=16)
-    bx = jnp.stack([o[0] for o in bouts])
-    by = jnp.stack([o[1] for o in bouts])
-    binf = jnp.stack([o[2] for o in bouts])
-    tailb = engine.tail_batched_program(W, c)
-    xs, ys, infs = tailb(bx, by, binf)
+    if batched_tail:
+        # one (W,)-wide tail program (see window_program_planned docstring:
+        # slower than the fused-in-window tail on v5e today, kept for study)
+        bx = jnp.stack([o[0] for o in wouts])
+        by = jnp.stack([o[1] for o in wouts])
+        binf = jnp.stack([o[2] for o in wouts])
+        tailb = engine.tail_batched_program(W, c)
+        xs, ys, infs = tailb(bx, by, binf)
+    else:
+        xs = jnp.stack([o[0] for o in wouts])
+        ys = jnp.stack([o[1] for o in wouts])
+        infs = jnp.stack([o[2] for o in wouts])
     hx = np.atleast_1d(F.unpack_host(xs))
     hy = np.atleast_1d(F.unpack_host(ys))
     hinf = np.asarray(jax.device_get(infs))

@@ -189,37 +189,58 @@ def gather_rows_t_fn(ncols: int, block_b: int = 2048, nchunk: int = 32):
     XLA's gather reads ~50 cycles/row (latency-bound); this kernel keeps
     `nchunk` row DMAs in flight per block and emits the transposed layout
     the fused affine kernels consume (saving the separate XLA transpose).
-    M must be a multiple of block_b."""
+    Negative indices mark DEAD slots: no DMA is issued and the output row
+    is zero — the MSM layout is ~50% padding at PAD=2*avg-occupancy, so
+    skipping dead rows halves the latency-bound fetch count.
+    Mosaic tiling requires DMA slices 128-aligned in the minor dimension,
+    so payload rows are padded to the next 128 lanes (the extra bytes ride
+    the same latency-bound fetch).  M must be a multiple of block_b."""
     from jax.experimental.pallas import tpu as _pltpu
+
+    ncols_p = ((ncols + 127) // 128) * 128
 
     def kernel(idx_ref, payload_ref, out_ref, scratch, sems):
         base = pl.program_id(0) * block_b
+        scratch[:] = jnp.zeros((block_b, ncols_p), jnp.int32)
 
         def outer(k, carry):
             start = k * nchunk
             for t in range(nchunk):
                 r = start + t
-                src = payload_ref.at[idx_ref[base + r]]
-                pltpu.make_async_copy(src, scratch.at[r], sems.at[t]).start()
+                i = idx_ref[base + r]
+
+                @pl.when(i >= 0)
+                def _():
+                    pltpu.make_async_copy(payload_ref.at[i], scratch.at[r],
+                                          sems.at[t]).start()
             for t in range(nchunk):
                 r = start + t
-                src = payload_ref.at[idx_ref[base + r]]
-                pltpu.make_async_copy(src, scratch.at[r], sems.at[t]).wait()
+                i = idx_ref[base + r]
+
+                @pl.when(i >= 0)
+                def _():
+                    pltpu.make_async_copy(payload_ref.at[i], scratch.at[r],
+                                          sems.at[t]).wait()
             return carry
 
         jax.lax.fori_loop(0, block_b // nchunk, outer, 0)
-        out_ref[:] = scratch[:].T
+        out_ref[:] = scratch[:].T[:ncols]
 
     def run(payload: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         M = idx.shape[0]
         assert M % block_b == 0, "pad M to the block size"
+        if payload.shape[1] != ncols_p:
+            payload = jnp.concatenate(
+                [payload, jnp.zeros((payload.shape[0],
+                                     ncols_p - payload.shape[1]),
+                                    jnp.int32)], axis=1)
         gs = _pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(M // block_b,),
             in_specs=[pl.BlockSpec(memory_space=_pltpu.ANY)],
             out_specs=pl.BlockSpec((ncols, block_b), lambda i, *_: (0, i),
                                    memory_space=_pltpu.VMEM),
-            scratch_shapes=[_pltpu.VMEM((block_b, ncols), jnp.int32),
+            scratch_shapes=[_pltpu.VMEM((block_b, ncols_p), jnp.int32),
                             _pltpu.SemaphoreType.DMA((nchunk,))],
         )
         return pl.pallas_call(
