@@ -362,9 +362,11 @@ class DeviceMSM:
         program replaces the per-window argsort+searchsorted (~40 ms/window
         at 2^20 on v5e, and the occupancy pass needs the same sort anyway).
 
-        `rounds`: buckets can hold up to rounds*PAD entries — each round
-        lays out ranks [r*PAD, (r+1)*PAD) and accumulates into a running
-        bucket vector.  rounds == 1 for uniform scalars; skewed digit
+        `rounds`: int r (r rounds of PAD ranks each) or an explicit tuple of
+        per-round pow2 pads, e.g. (64, 1) for max occupancy 65 — each round
+        lays out the next `pad` ranks and accumulates into a running bucket
+        vector.  Shrinking pads make overflow cheap: a bucket one past PAD
+        costs one (B,) pass, not a full second grid.  Skewed digit
         distributions (structured/adversarial scalars) get more rounds
         instead of a memory-exploding PAD.
 
@@ -372,6 +374,8 @@ class DeviceMSM:
         across shards by adding bucket vectors."""
         B = 1 << (c - 1)
         F = self.F
+        pads = tuple(rounds) if isinstance(rounds, (tuple, list)) \
+            else (PAD,) * int(rounds)
 
         def bucket_sums(dw, x, y, inf, order=None, starts=None, counts=None):
             if order is None:
@@ -380,11 +384,12 @@ class DeviceMSM:
             # RANK-MAJOR layout: slot = rank*B + bucket, so the half-split
             # pairing of `affine_halve` always pairs same-bucket entries
             # with zero relayout, and the final level is bucket-ordered.
-            bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
-            rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
             acc = None
-            for r in range(rounds):
-                rank = r * PAD + rgrid
+            off = 0
+            for pad_r in pads:
+                bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), pad_r)
+                rgrid = jnp.repeat(jnp.arange(pad_r, dtype=jnp.int32), B)
+                rank = off + rgrid
                 pos = starts[bgrid] + rank
                 valid = rank < counts[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
@@ -396,6 +401,7 @@ class DeviceMSM:
                 while P.x.shape[0] > B:
                     P = affine_halve(F, P)
                 acc = P if acc is None else affine_pair_add(F, acc, P)
+                off += pad_r
             return acc, maxc
 
         on_tpu = (jax.default_backend() == "tpu"
@@ -409,13 +415,16 @@ class DeviceMSM:
             return fn
         return lambda dw, x, y, inf: fn(dw, x, y, inf)
 
-    def _bucket_sums_tpu(self, c: int, PAD: int, rounds: int):
+    def _bucket_sums_tpu(self, c: int, PAD: int, rounds):
         """TPU variant: the halving levels run as fused Pallas kernels in
         transposed (U, M) layout (U = L for G1/Fq, 2L for G2/Fq2); the
         rank-major half-split pairing keeps every level a contiguous slab
-        (no strided relayouts)."""
+        (no strided relayouts).  `rounds`: int or per-round pads tuple (see
+        `bucket_sums_fn`)."""
         B = 1 << (c - 1)
         F = self.F
+        pads = tuple(rounds) if isinstance(rounds, (tuple, list)) \
+            else (PAD,) * int(rounds)
         if F.unit_ndim == 1:
             from .pallas.curve_kernels import affine_kernels_for
             from .pallas.field_kernels import mont_mul_t_fn
@@ -464,8 +473,6 @@ class DeviceMSM:
             if order is None:
                 order, starts, counts = _layout_plan(dw, inf, B)
             maxc = jnp.max(counts)
-            bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), PAD)
-            rgrid = jnp.repeat(jnp.arange(PAD, dtype=jnp.int32), B)
             # PACKED payload: x and (sign-applied) y 15-bit limbs share one
             # int32 per limb position, so the latency-bound padded gather
             # reads HALF the rows-bytes and the per-slot sign gather
@@ -476,8 +483,12 @@ class DeviceMSM:
             use_dma = bool(__import__("os").environ.get(
                 "CRYPTO_TPU_DMA_GATHER"))
             accx = accy = accm = None
-            for r in range(rounds):
-                rank = r * PAD + rgrid
+            off = 0
+            for pad_r in pads:
+                bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), pad_r)
+                rgrid = jnp.repeat(jnp.arange(pad_r, dtype=jnp.int32), B)
+                rank = off + rgrid
+                off += pad_r
                 pos = starts[bgrid] + rank
                 valid = rank < counts[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
@@ -818,15 +829,19 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     wouts = []
     for w in range(W):
         occ = int(occs[w])
-        pad_w = 1 << (occ - 1).bit_length()
-        rounds = 1
-        if pad_w > PAD_MAX:
-            pad_w = PAD_MAX
-            rounds = (occ + PAD_MAX - 1) // PAD_MAX
-        if batched_tail:
-            prog = engine.bucket_program(N, c, pad_w, rounds)
+        if occ <= PAD_MAX:
+            pads = (1 << (occ - 1).bit_length(),)
         else:
-            prog = engine.window_program_planned(N, c, pad_w, rounds)
+            # shrinking overflow rounds: occupancy 65 costs one extra (B,)
+            # rank pass, not a full second PAD_MAX grid
+            nfull, rem = divmod(occ, PAD_MAX)
+            pads = (PAD_MAX,) * nfull
+            if rem:
+                pads = pads + (1 << (rem - 1).bit_length(),)
+        if batched_tail:
+            prog = engine.bucket_program(N, c, pads[0], pads)
+        else:
+            prog = engine.window_program_planned(N, c, pads[0], pads)
         wouts.append(prog(digits[w], points.X, points.Y, inf_mask,
                           order[w], starts[w], counts[w]))
 

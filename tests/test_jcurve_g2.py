@@ -64,11 +64,12 @@ def test_g2_to_affine(jc2):
 
 
 def test_g2_msm_vs_host(jc2):
-    n = 16
+    n = 8
     pts = [bls.G2.rand(rng).normalize() for _ in range(n)]
-    # 64-bit scalars: full-width digit handling is covered by the G1 tests
-    scs = [rng.randrange(1, 1 << 64) for _ in range(n)]
-    got = msm_pippenger(bls.G2, pts, scs, nbits=64)
+    # 32-bit scalars: full-width digit handling is covered by the G1 tests;
+    # this covers the Fq2 curve-op path (signs, buckets, tail) at 1/4 cost
+    scs = [rng.randrange(1, 1 << 32) for _ in range(n)]
+    got = msm_pippenger(bls.G2, pts, scs, nbits=32)
     exp = bls.G2.infinity()
     for p, s in zip(pts, scs):
         exp = exp + p * s
