@@ -251,6 +251,65 @@ def _plan_windows(digits, inf_mask, B):
             jnp.max(counts, axis=1))
 
 
+# count-profile resolution for the staircase bands; occupancies above this
+# fall back to the uniform-grid path (adversarially skewed digits)
+MAX_PROFILE_RANK = 256
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _plan_windows_sorted(digits, inf_mask, B):
+    """Like `_plan_windows`, plus per-window count-DESC bucket permutation
+    and occupancy profile for the staircase-band layout:
+    (order (W,N), starts_p (W,B), counts_p (W,B), invperm (W,B),
+     nprofile (W, MAX_PROFILE_RANK) with nprofile[w,r] = #buckets with
+     count > r, occs (W,))."""
+    W = digits.shape[0]
+    orders, starts_p, counts_p, invperms, nprof = [], [], [], [], []
+    for w in range(W):
+        o, s, cn = _layout_plan(digits[w], inf_mask, B)
+        perm = jnp.argsort(-cn, stable=True)
+        cp = cn[perm]
+        invperm = jnp.zeros((B,), jnp.int32).at[perm].set(
+            jnp.arange(B, dtype=jnp.int32))
+        asc = cp[::-1]
+        n_r = B - jnp.searchsorted(
+            asc, jnp.arange(MAX_PROFILE_RANK, dtype=jnp.int32), side="right")
+        orders.append(o)
+        starts_p.append(s[perm])
+        counts_p.append(cp)
+        invperms.append(invperm)
+        nprof.append(n_r.astype(jnp.int32))
+    counts_p = jnp.stack(counts_p)
+    return (jnp.stack(orders), jnp.stack(starts_p), counts_p,
+            jnp.stack(invperms), jnp.stack(nprof),
+            jnp.max(counts_p, axis=1))
+
+
+def _build_bands(nprof: np.ndarray, occ: int, B: int,
+                 max_h: int = 64) -> tuple:
+    """Greedy staircase: cover ranks [0, occ) with (Q, h, r0) bands where
+    Q = next_pow2(#buckets needing rank r0) and h grows (pow2) until the
+    profile drops below Q/2.  Slots ~= integral of the occupancy profile,
+    vs occ*B for the uniform grid."""
+    bands = []
+    r = 0
+    occ = int(occ)
+    while r < occ:
+        n_r = int(nprof[r]) if r < len(nprof) else 1
+        n_r = max(n_r, 1)
+        Q = 1 << (n_r - 1).bit_length()
+        Q = min(Q, B)
+        h = 1
+        while r + h < occ and h < max_h:
+            nxt = int(nprof[min(r + h, len(nprof) - 1)])
+            if nxt <= Q // 2:
+                break
+            h *= 2
+        bands.append((Q, h, r))
+        r += h
+    return tuple(bands)
+
+
 def _inv_t(F, v: jnp.ndarray) -> jnp.ndarray:
     """Transposed (U, n) -> elementwise inverses via F.inv (U = prod of
     F.unit_shape; works for base and tower fields)."""
@@ -415,16 +474,11 @@ class DeviceMSM:
             return fn
         return lambda dw, x, y, inf: fn(dw, x, y, inf)
 
-    def _bucket_sums_tpu(self, c: int, PAD: int, rounds):
-        """TPU variant: the halving levels run as fused Pallas kernels in
-        transposed (U, M) layout (U = L for G1/Fq, 2L for G2/Fq2); the
-        rank-major half-split pairing keeps every level a contiguous slab
-        (no strided relayouts).  `rounds`: int or per-round pads tuple (see
-        `bucket_sums_fn`)."""
-        B = 1 << (c - 1)
+    def _fused_ctx(self):
+        """(halve_t, pair_add_t, U, ush): the fused-Pallas batched-affine
+        level machinery in transposed (U, M) layout, shared by the grid and
+        staircase-band bucket reductions."""
         F = self.F
-        pads = tuple(rounds) if isinstance(rounds, (tuple, list)) \
-            else (PAD,) * int(rounds)
         if F.unit_ndim == 1:
             from .pallas.curve_kernels import affine_kernels_for
             from .pallas.field_kernels import mont_mul_t_fn
@@ -441,15 +495,11 @@ class DeviceMSM:
                                                base.field.Ninv_R)
             mulT = fq2_mul_t_fn(base.L, base.p, base.field.Ninv_R)
             BLK = FQ2_BLOCK
-        L = base.L
-        U = L * (1 if F.unit_ndim == 1 else 2)
+        U = base.L * (1 if F.unit_ndim == 1 else 2)
         ush = tuple(F.unit_shape)
 
-        def halve_t(xT, yT, mT):
-            h = xT.shape[1] // 2
-            x1, x2 = xT[:, :h], xT[:, h:]
-            y1, y2 = yT[:, :h], yT[:, h:]
-            m1, m2 = mT[:, :h], mT[:, h:]
+        def pair_add_t(x1, y1, m1, x2, y2, m2):
+            h = x1.shape[1]
             pad = (-h) % BLK
             if pad:
                 zL = jnp.zeros((U, pad), jnp.int32)
@@ -468,6 +518,25 @@ class DeviceMSM:
                 y3 = y3[:, :h]
                 inf3 = inf3[:, :h]
             return x3, y3, inf3
+
+        def halve_t(xT, yT, mT):
+            h = xT.shape[1] // 2
+            return pair_add_t(xT[:, :h], yT[:, :h], mT[:, :h],
+                              xT[:, h:], yT[:, h:], mT[:, h:])
+
+        return halve_t, pair_add_t, U, ush
+
+    def _bucket_sums_tpu(self, c: int, PAD: int, rounds):
+        """TPU variant: the halving levels run as fused Pallas kernels in
+        transposed (U, M) layout (U = L for G1/Fq, 2L for G2/Fq2); the
+        rank-major half-split pairing keeps every level a contiguous slab
+        (no strided relayouts).  `rounds`: int or per-round pads tuple (see
+        `bucket_sums_fn`)."""
+        B = 1 << (c - 1)
+        F = self.F
+        pads = tuple(rounds) if isinstance(rounds, (tuple, list)) \
+            else (PAD,) * int(rounds)
+        halve_t, _pair_add_t, U, ush = self._fused_ctx()
 
         def bucket_sums(dw, x, y, inf, order=None, starts=None, counts=None):
             if order is None:
@@ -517,6 +586,80 @@ class DeviceMSM:
             return AffinePoints(outx, outy, accm[0] > 0), maxc
 
         return bucket_sums
+
+    def _bucket_sums_tpu_bands(self, c: int, bands: tuple):
+        """Staircase-band bucket reduction (TPU): buckets are processed in
+        COUNT-SORTED order; band (Q, h, r0) lays out ranks [r0, r0+h) for
+        the Q highest-count buckets only (Q, h pow2; Q >= #buckets with
+        count > r0, exact from the window's count profile, so correctness
+        never depends on a distribution model).
+
+        Versus the uniform PAD grid (2x average occupancy => ~50% dead
+        slots), the staircase tracks the occupancy profile: ~1.15N slots
+        for uniform scalars at 2^20/c=16 — ~40% less gather + level work.
+
+        Returns bucket sums in SORTED order; the caller unpermutes with the
+        plan's inverse permutation before the weighted tail."""
+        B = 1 << (c - 1)
+        F = self.F
+        halve_t, pair_add_t, U, ush = self._fused_ctx()
+
+        def bucket_sums_sorted(dw, x, y, inf, order, starts_p, counts_p):
+            y_signed = F.select(dw < 0, F.neg(y), y)
+            xy = (x | (y_signed << 15)).reshape(x.shape[0], -1)
+            accx = accy = accm = None      # (U, B) running, sorted order
+            for (Q, h, r0) in bands:
+                bgrid = jnp.tile(jnp.arange(Q, dtype=jnp.int32), h)
+                rank = jnp.repeat(jnp.arange(h, dtype=jnp.int32), Q) + r0
+                pos = starts_p[bgrid] + rank
+                valid = rank < counts_p[bgrid]
+                srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
+                sxyT = xy[srcp].T                      # (U, Q*h)
+                xT = sxyT & 0x7FFF
+                yT = sxyT >> 15
+                mT = (~valid).astype(jnp.int32)[None, :]
+                while xT.shape[1] > Q:
+                    xT, yT, mT = halve_t(xT, yT, mT)
+                if accx is None:
+                    if Q < B:              # pad first band to full width
+                        zL = jnp.zeros((U, B - Q), jnp.int32)
+                        z1 = jnp.ones((1, B - Q), jnp.int32)
+                        xT = jnp.concatenate([xT, zL], axis=1)
+                        yT = jnp.concatenate([yT, zL], axis=1)
+                        mT = jnp.concatenate([mT, z1], axis=1)
+                    accx, accy, accm = xT, yT, mT
+                else:
+                    # combine into the sorted prefix [:Q] only
+                    cx, cy, cm = pair_add_t(accx[:, :Q], accy[:, :Q],
+                                            accm[:, :Q], xT, yT, mT)
+                    accx = jnp.concatenate([cx, accx[:, Q:]], axis=1)
+                    accy = jnp.concatenate([cy, accy[:, Q:]], axis=1)
+                    accm = jnp.concatenate([cm, accm[:, Q:]], axis=1)
+            outx = accx.T.reshape((B,) + ush)
+            outy = accy.T.reshape((B,) + ush)
+            return AffinePoints(outx, outy, accm[0] > 0)
+
+        return bucket_sums_sorted
+
+    def window_program_bands(self, N: int, c: int, bands: tuple):
+        """Fused staircase-band bucket sums + inverse-permutation + tail."""
+        key = ("wpb", N, c, bands)
+        if key in self._jits:
+            return self._jits[key]
+        bucket_sums = self._bucket_sums_tpu_bands(c, bands)
+        tail = self.tail_fn(c)
+
+        def full(dw, x, y, inf, order, starts_p, counts_p, invperm):
+            P = bucket_sums(dw, x, y, inf, order, starts_p, counts_p)
+            px = P.x[invperm]              # back to natural bucket order
+            py = P.y[invperm]
+            pinf = P.inf[invperm]
+            ox, oy, oinf = tail(px, py, pinf)
+            return ox, oy, oinf
+
+        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        self._jits[key] = prog
+        return prog
 
     def tail_fn(self, c: int):
         """Bucket sums (B,) -> window point, via the two-axis weighted
@@ -819,16 +962,41 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     # halving level; PAD_MAX=64 keeps the 2^20/c=16 working set ~2 GB
     # (PAD=128 peaked at 21 GB > 16 GB HBM on v5e)
     PAD_MAX = 64
-    order, starts, counts, occs_d = _plan_windows(digits, inf_mask,
-                                                  1 << (c - 1))
-    if pad is None:
-        occs = np.maximum(np.asarray(jax.device_get(occs_d)), 1)
-    else:
-        occs = np.full((W,), pad, dtype=np.int64)
+    B = 1 << (c - 1)
+    on_tpu_fused = ((jax.default_backend() == "tpu"
+                     or bool(os.environ.get("CRYPTO_TPU_FORCE_TPU_MSM")))
+                    and F.unit_ndim in (1, 2))
+    use_bands = (on_tpu_fused and pad is None
+                 and not os.environ.get("CRYPTO_TPU_NO_BANDS"))
+    if use_bands:
+        (order, starts_p, counts_p, invperm, nprof_d,
+         occs_d) = _plan_windows_sorted(digits, inf_mask, B)
+        nprof, occs = (np.asarray(jax.device_get(nprof_d)),
+                       np.maximum(np.asarray(jax.device_get(occs_d)), 1))
+        if int(occs.max()) > MAX_PROFILE_RANK:
+            use_bands = False      # adversarially skewed digits: grid path
+        else:
+            # one band structure for ALL windows (elementwise-max profile):
+            # a few % more slots than per-window bands, but a single
+            # compiled program per (N, c) instead of up to W variants
+            shared_bands = _build_bands(nprof.max(axis=0), int(occs.max()),
+                                        B, max_h=PAD_MAX)
+    if not use_bands:
+        order, starts, counts, occs_d = _plan_windows(digits, inf_mask, B)
+        if pad is None:
+            occs = np.maximum(np.asarray(jax.device_get(occs_d)), 1)
+        else:
+            occs = np.full((W,), pad, dtype=np.int64)
     batched_tail = bool(os.environ.get("CRYPTO_TPU_BATCHED_TAIL"))
     wouts = []
     for w in range(W):
         occ = int(occs[w])
+        if use_bands:
+            prog = engine.window_program_bands(N, c, shared_bands)
+            wouts.append(prog(digits[w], points.X, points.Y, inf_mask,
+                              order[w], starts_p[w], counts_p[w],
+                              invperm[w]))
+            continue
         if occ <= PAD_MAX:
             pads = (1 << (occ - 1).bit_length(),)
         else:
