@@ -131,6 +131,11 @@ def main() -> None:
         "value": round(pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / baseline_cpu, 3),
+        # scalar bytes are device-staged before the timed region (see the
+        # staging comment above): numbers from rounds 1-2 and external MSM
+        # benches that include host->device transfer are not directly
+        # comparable
+        "scalars_staged": True,
     }
     print(json.dumps(out))
 

@@ -549,6 +549,147 @@ def affine_kernels_for(L: int, p_int: int, ninv_int: int,
     return call_pre, call_post
 
 
+# ---------------------------------------------------------------------------
+# chunked batched-affine halve level (fused inversion, for ops/msm_v2.py)
+# ---------------------------------------------------------------------------
+
+def _denom_dbl_inf(F: FieldCtx, c, X1, Y1, X2, Y2, i1, i2):
+    """Shared denominator logic of the unified affine add/double: returns
+    (d, is_dbl, is_inf3) with d == 1 in dead lanes.  MUST be identical in
+    the prefix and downsweep kernels — the chunked Montgomery walk
+    re-multiplies the same d values."""
+    same_x = jnp.all(X1 == X2, axis=0, keepdims=True)
+    y2n = F.neg(c, Y2)
+    y_opp = jnp.all(Y1 == y2n, axis=0, keepdims=True)
+    both = (~i1) & (~i2)
+    is_dbl = same_x & (~y_opp) & both
+    is_inf3 = (same_x & y_opp & both) | (i1 & i2)
+    dead = (~both) | is_inf3
+    d = jnp.where(is_dbl, F.dbl(c, Y1), F.sub(c, X2, X1))
+    onev = jnp.concatenate(
+        [jnp.ones((1, d.shape[1]), jnp.int32),
+         jnp.zeros((d.shape[0] - 1, d.shape[1]), jnp.int32)], axis=0)
+    zero_d = jnp.all(d == 0, axis=0, keepdims=True)
+    d = jnp.where(dead | zero_d, onev, d)
+    return d, is_dbl, is_inf3
+
+
+# sub-slice width of the chunked level kernels (the onehot mul's natural
+# block) and the number of sub-slices chained per block
+CHUNK_BW = 512
+CHUNK_K = 8
+
+
+@functools.lru_cache(maxsize=None)
+def chunked_level_kernels_for(L: int, p_int: int, ninv_int: int,
+                              k: int = CHUNK_K, bw: int = CHUNK_BW):
+    """One batched-affine halving level in TWO fused kernels (G1/Fq path),
+    replacing pre + global batch-inversion tree (~40 launches) + post:
+
+      prefix(x1, y1, m1, x2, y2, m2) -> (prefix, total, dbl, inf3)
+          per-pair denominators d and, within each (L, k*bw) block, the
+          running products prefix[j] = d_0 * ... * d_j over the k bw-wide
+          sub-slices; `total` is the block's chunk product (L, bw).
+      down(x1, y1, m1, x2, y2, m2, prefix, tinv, dbl) -> (x3, y3)
+          given inverted chunk totals, walks the k sub-slices backwards
+          (dinv_j = t * prefix_{j-1}; t *= d_j, with d_j recomputed from the
+          coords) and applies the full unified add/double formula in the
+          same kernel.
+
+    The caller inverts only the (L, M/k) chunk totals (via `batch_inv_t`),
+    so the global log-depth tree shrinks k-fold and every remaining mul of
+    the level runs inside two Mosaic launches.  Pair count M must be a
+    multiple of k*bw (callers pad with dead lanes)."""
+    F = FieldCtx(L, p_int, ninv_int, onehot=True)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+    W = k * bw
+    NC = len(F.names)
+
+    def io_spec(rows, blk):
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def prefix_kernel(x1, y1, m1, x2, y2, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        oprefix, ototal, odbl, oinf = (rest[NC], rest[NC + 1], rest[NC + 2],
+                                       rest[NC + 3])
+        acc = None
+        for j in range(k):
+            sl = slice(j * bw, (j + 1) * bw)
+            d, is_dbl, is_inf3 = _denom_dbl_inf(
+                F, c, x1[:, sl], y1[:, sl], x2[:, sl], y2[:, sl],
+                m1[:, sl] > 0, m2[:, sl] > 0)
+            acc = d if acc is None else F.mul(c, acc, d)
+            oprefix[:, sl] = acc
+            odbl[:, sl] = is_dbl.astype(jnp.int32)
+            oinf[:, sl] = is_inf3.astype(jnp.int32)
+        ototal[:] = acc
+
+    def down_kernel(x1, y1, m1, x2, y2, m2, prefix, tinv, mdbl, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        ox, oy = rest[NC], rest[NC + 1]
+        t = tinv[:]
+        for j in range(k - 1, -1, -1):
+            sl = slice(j * bw, (j + 1) * bw)
+            X1, Y1, X2, Y2 = x1[:, sl], y1[:, sl], x2[:, sl], y2[:, sl]
+            i1 = m1[:, sl] > 0
+            i2 = m2[:, sl] > 0
+            is_dbl = mdbl[:, sl] > 0
+            if j > 0:
+                psl = slice((j - 1) * bw, j * bw)
+                dinv = F.mul(c, t, prefix[:, psl])
+                d, _dbl2, _inf2 = _denom_dbl_inf(F, c, X1, Y1, X2, Y2, i1, i2)
+                t = F.mul(c, t, d)
+            else:
+                dinv = t
+            x1sq = F.square(c, X1)
+            num = jnp.where(is_dbl, F.add(c, F.dbl(c, x1sq), x1sq),
+                            F.sub(c, Y2, Y1))
+            lam = F.mul(c, num, dinv)
+            x3 = F.sub(c, F.sub(c, F.square(c, lam), X1), X2)
+            y3 = F.sub(c, F.mul(c, lam, F.sub(c, X1, x3)), Y1)
+            x3 = jnp.where(i1, X2, jnp.where(i2 & (~i1), X1, x3))
+            y3 = jnp.where(i1, Y2, jnp.where(i2 & (~i1), Y1, y3))
+            ox[:, sl] = x3
+            oy[:, sl] = y3
+
+    def call_prefix(x1, y1, m1, x2, y2, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            prefix_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B // k), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)),
+            grid=(B // W,),
+            in_specs=[io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, W), io_spec(1, W)]
+            + const_specs,
+            out_specs=(io_spec(L, W), io_spec(L, bw), io_spec(1, W),
+                       io_spec(1, W)),
+        )(x1, y1, m1, x2, y2, m2, *consts)
+
+    def call_down(x1, y1, m1, x2, y2, m2, prefix, tinv, mdbl):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            down_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B), jnp.int32)),
+            grid=(B // W,),
+            in_specs=[io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, bw), io_spec(1, W)]
+            + const_specs,
+            out_specs=(io_spec(L, W), io_spec(L, W)),
+        )(x1, y1, m1, x2, y2, m2, prefix, tinv, mdbl, *consts)
+
+    return call_prefix, call_down
+
+
 class Fq2Ctx:
     """Transposed-layout Fq2 ops over a `FieldCtx` base: one element is a
     (2L, B) slab — c0 limbs in rows [:L], c1 in rows [L:].  All arithmetic

@@ -71,3 +71,23 @@ def test_bn254_device_multi_pairing():
              (a, bn.G2.generator()),
              ((-a).normalize(), bn.G2.generator())]
     assert jp.multi_pairing(pairs) == bn.pairing(p1, q1)
+
+
+def test_pairing_wrapper_delegates(jp, monkeypatch):
+    """`jp.pairing` is the public single-pair entry point
+    (`curves/jpairing.py`): assert it routes its (p, q) pair through
+    `multi_pairing` unchanged.  Parity of `multi_pairing` itself is covered
+    by the device-vs-host tests above; a real single-pair device call would
+    re-run the identical batch-1 machinery at ~1 min of CPU eager dispatch
+    for no extra coverage."""
+    p = bls.G1.generator().normalize()
+    q = bls.G2.generator().normalize()
+    seen = {}
+
+    def fake_multi(pairs):
+        seen["pairs"] = list(pairs)
+        return "sentinel"
+
+    monkeypatch.setattr(jp, "multi_pairing", fake_multi)
+    assert jp.pairing(p, q) == "sentinel"
+    assert seen["pairs"] == [(p, q)]

@@ -184,3 +184,75 @@ def test_fq2_kernels_interpret_mode():
                              os.path.abspath(__file__))))
     assert "G2 fused bucket sums interpret OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
+
+
+SCRIPT_CHUNKED = r"""
+import os
+os.environ["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import random
+import numpy as np
+import jax.numpy as jnp
+from crypto_tpu.curves import bls12_381 as bls
+from crypto_tpu.fields.jfield import jfield_for
+from crypto_tpu.ops.pallas.field_kernels import mont_mul_t_fn
+from crypto_tpu.ops.pallas.curve_kernels import (chunked_level_kernels_for,
+                                                 CHUNK_K, CHUNK_BW)
+from crypto_tpu.ops.msm_v2 import batch_inv_t
+rng = random.Random(21)
+F = jfield_for(bls.Fq)
+L = F.L
+mulT = mont_mul_t_fn(L, F.p, F.field.Ninv_R)
+call_prefix, call_down = chunked_level_kernels_for(L, F.p, F.field.Ninv_R)
+W = CHUNK_K * CHUNK_BW
+
+# real pairs spread across several sub-slices so the prefix/downsweep walk
+# crosses chunk boundaries; include doubling, inverse (P + -P), and
+# one-operand-infinity cases
+pts = [bls.G1.rand(rng).normalize() for _ in range(6)]
+qts = [bls.G1.rand(rng).normalize() for _ in range(6)]
+cases = list(zip(pts, qts)) + [(pts[0], pts[0]), (pts[1], -pts[1])]
+slots = [0, 1, 511, 512, 1000, 2048, 3000, W - 1]          # spread positions
+inf_slot = 4000                                            # P + inf = P
+x1 = np.zeros((L, W), np.int32); y1 = np.zeros((L, W), np.int32)
+x2 = np.zeros((L, W), np.int32); y2 = np.zeros((L, W), np.int32)
+m1 = np.ones((1, W), np.int32);  m2 = np.ones((1, W), np.int32)
+def put(xa, ya, s, p):
+    ax, ay = p.to_affine()
+    xa[:, s] = np.asarray(F.pack([int(ax)]))[0]
+    ya[:, s] = np.asarray(F.pack([int(ay)]))[0]
+for s, (p, q) in zip(slots, cases):
+    put(x1, y1, s, p); put(x2, y2, s, q.normalize() if hasattr(q, 'normalize') else q)
+    m1[0, s] = 0; m2[0, s] = 0
+put(x2, y2, inf_slot, qts[0]); m2[0, inf_slot] = 0          # m1 stays 1 (inf)
+prefix, total, mdbl, inf3 = call_prefix(*map(jnp.asarray,
+                                             (x1, y1, m1, x2, y2, m2)))
+tinv = batch_inv_t(F, total, mulT)
+x3, y3 = call_down(jnp.asarray(x1), jnp.asarray(y1), jnp.asarray(m1),
+                   jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(m2),
+                   prefix, tinv, mdbl)
+gx = F.unpack_host(jnp.asarray(np.asarray(x3).T))
+gy = F.unpack_host(jnp.asarray(np.asarray(y3).T))
+ginf = np.asarray(inf3)[0]
+for s, (p, q) in zip(slots, cases):
+    r = p + q
+    if r.is_infinity():
+        assert ginf[s], f"slot {s}: expected infinity"
+    else:
+        ex, ey = r.to_affine()
+        assert not ginf[s] and gx[s] == ex and gy[s] == ey, f"slot {s}"
+ex, ey = qts[0].to_affine()
+assert not ginf[inf_slot] and gx[inf_slot] == ex and gy[inf_slot] == ey
+print("chunked level interpret OK")
+"""
+
+
+def test_chunked_level_interpret_mode():
+    env = dict(os.environ)
+    env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+    out = subprocess.run([sys.executable, "-c", SCRIPT_CHUNKED], env=env,
+                         capture_output=True, text=True, timeout=1200,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "chunked level interpret OK" in out.stdout, \
+        out.stderr[-3000:] + out.stdout[-500:]
