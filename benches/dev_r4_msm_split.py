@@ -65,7 +65,7 @@ def gather_only(dw, xx, yy, infm, order_w, starts_w, counts_w):
 
 
 def levels_too(dw, xx, yy, infm, order_w, starts_w, counts_w):
-    P = bs_fn(dw, xx, yy, infm, order_w, starts_w, counts_w)
+    P, _flag = bs_fn(dw, xx, yy, infm, order_w, starts_w, counts_w)
     return P.x
 
 

@@ -286,11 +286,17 @@ def _plan_windows_sorted(digits, inf_mask, B):
 
 
 def _build_bands(nprof: np.ndarray, occ: int, B: int,
-                 max_h: int = 64) -> tuple:
+                 max_h: int = 64, min_q: int = 4096) -> tuple:
     """Greedy staircase: cover ranks [0, occ) with (Q, h, r0) bands where
     Q = next_pow2(#buckets needing rank r0) and h grows (pow2) until the
     profile drops below Q/2.  Slots ~= integral of the occupancy profile,
-    vs occ*B for the uniform grid."""
+    vs occ*B for the uniform grid.
+
+    `min_q`: once the profile drops below this width, emit ONE final band
+    covering all remaining ranks instead of a tail of ~10 skinny bands.
+    Each band pays fixed per-level costs (kernel-block padding, inversion
+    trees too small to amortize) that dwarf its compute: at 2^20/c=16 the
+    merged tail adds ~5% slots but removes ~10 bands' overhead."""
     bands = []
     r = 0
     occ = int(occ)
@@ -299,6 +305,12 @@ def _build_bands(nprof: np.ndarray, occ: int, B: int,
         n_r = max(n_r, 1)
         Q = 1 << (n_r - 1).bit_length()
         Q = min(Q, B)
+        if Q < min_q or Q * (occ - r) <= 2 * min_q:
+            # final merged band: cover the remaining ranks in one go
+            # (pow2 height for the halving chain; extra ranks are dead)
+            h = 1 << max(0, (occ - r - 1).bit_length())
+            bands.append((Q, h, r))
+            break
         h = 1
         while r + h < occ and h < max_h:
             nxt = int(nprof[min(r + h, len(nprof) - 1)])
@@ -431,32 +443,33 @@ class DeviceMSM:
         tail = self.tail_fn(c)
 
         def full(dw, x, y, inf):
-            P, maxc = bucket_sums(dw, x, y, inf)
+            P, maxc, flag = bucket_sums(dw, x, y, inf)
             ox, oy, oinf = tail(P.x, P.y, P.inf)
-            return ox, oy, oinf, maxc
+            return ox, oy, oinf, maxc, flag
 
         prog = full if jax.default_backend() == "cpu" else jax.jit(full)
         self._jits[key] = prog
         return prog
 
     def window_program_planned(self, N: int, c: int, PAD: int,
-                               rounds: int = 1):
+                               rounds: int = 1, fast: bool = True):
         """Fused bucket-sums + tail taking the precomputed sort plan.
         Measured on v5e: the fused-in-window tail (61 ms) beats the
         (W,)-batched standalone tail program (2.2 s for 16 windows — XLA
         schedules the composed Jacobian reductions poorly when they are
         the whole program); enable the batched tail with
         CRYPTO_TPU_BATCHED_TAIL=1."""
-        key = ("wp", N, c, PAD, rounds)
+        key = ("wp", N, c, PAD, rounds, fast)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True)
+        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True,
+                                          fast=fast)
         tail = self.tail_fn(c)
 
         def full(dw, x, y, inf, order, starts, counts):
-            P, maxc = bucket_sums(dw, x, y, inf, order, starts, counts)
+            P, maxc, flag = bucket_sums(dw, x, y, inf, order, starts, counts)
             ox, oy, oinf = tail(P.x, P.y, P.inf)
-            return ox, oy, oinf
+            return ox, oy, oinf, flag
 
         # On CPU (tests) run eagerly: each field op dispatches its own small
         # cached jit instead of one mega-graph whose XLA:CPU compile takes
@@ -466,7 +479,7 @@ class DeviceMSM:
         return prog
 
     def bucket_sums_fn(self, c: int, PAD: int, rounds: int = 1,
-                       planned: bool = False):
+                       planned: bool = False, fast: bool = False):
         """dw (N,), x/y (N, unit), inf (N,) -> (AffinePoints (B,), max
         occupancy): digit-bucket layout + batched-affine halving reduction.
 
@@ -515,7 +528,7 @@ class DeviceMSM:
                     P = affine_halve(F, P)
                 acc = P if acc is None else affine_pair_add(F, acc, P)
                 off += pad_r
-            return acc, maxc
+            return acc, maxc, jnp.zeros((), jnp.int32)
 
         on_tpu = (jax.default_backend() == "tpu"
                   or bool(__import__("os").environ.get(
@@ -523,26 +536,42 @@ class DeviceMSM:
         if not on_tpu or F.unit_ndim not in (1, 2):
             fn = bucket_sums
         else:
-            fn = self._bucket_sums_tpu(c, PAD, rounds)
+            fn = self._bucket_sums_tpu(c, PAD, rounds, fast=fast)
         if planned:
             return fn
         return lambda dw, x, y, inf: fn(dw, x, y, inf)
 
-    def _fused_ctx(self):
+    def _fused_ctx(self, fast: bool = False):
         """(halve_t, pair_add_t, U, ush): the fused-Pallas batched-affine
         level machinery in transposed (U, M) layout, shared by the grid and
-        staircase-band bucket reductions."""
+        staircase-band bucket reductions.
+
+        Every pair_add/halve returns (x3, y3, inf3, zflag).  In the default
+        SAFE mode the kernels implement the total unified add/double and
+        zflag is the constant 0.  With `fast=True` (G1 only) the kernels
+        assume distinct non-opposite operands — valid for every real MSM
+        workload with distinct bases — and a colliding pair surfaces as a
+        ZERO denominator, which zeroes its inversion product; zflag != 0
+        reports it and `msm_device_scheduled` reruns that window through
+        the safe program (`window_program_bands(..., fast=False)`)."""
         F = self.F
         if F.unit_ndim == 1:
-            from .pallas.curve_kernels import affine_kernels_for
+            from .pallas.curve_kernels import (affine_kernels_for,
+                                               affine_kernels_fast)
             from .pallas.field_kernels import mont_mul_t_fn
             base = F
-            pre, post = affine_kernels_for(base.L, base.p, base.field.Ninv_R)
+            if fast:
+                pre, post = affine_kernels_fast(base.L, base.p,
+                                                base.field.Ninv_R)
+            else:
+                pre, post = affine_kernels_for(base.L, base.p,
+                                               base.field.Ninv_R)
             mulT = mont_mul_t_fn(base.L, base.p, base.field.Ninv_R)
             BLK = 512   # affine kernels' pallas block (one-hot VMEM bound)
-        else:           # Fq2 (G2)
+        else:           # Fq2 (G2): safe kernels only
             from .pallas.curve_kernels import (affine_kernels_for_fq2,
                                                fq2_mul_t_fn, FQ2_BLOCK)
+            fast = False
             base = F.base
             assert F.beta_is_m1, "fused Fq2 kernels assume beta == -1"
             pre, post = affine_kernels_for_fq2(base.L, base.p,
@@ -551,43 +580,11 @@ class DeviceMSM:
             BLK = FQ2_BLOCK
         U = base.L * (1 if F.unit_ndim == 1 else 2)
         ush = tuple(F.unit_shape)
+        zero_flag = jnp.zeros((), jnp.int32)
 
-        chunked = None
-        if F.unit_ndim == 1 and not os.environ.get("CRYPTO_TPU_NO_CHUNKED"):
-            from .pallas.curve_kernels import (chunked_level_kernels_for,
-                                               CHUNK_K, CHUNK_BW)
-            call_prefix, call_down = chunked_level_kernels_for(
-                base.L, base.p, base.field.Ninv_R)
-            CW = CHUNK_K * CHUNK_BW
-
-            def pair_add_t_chunked(x1, y1, m1, x2, y2, m2):
-                """Fused-level variant: 2 Mosaic launches + a k-fold smaller
-                inversion tree (see chunked_level_kernels_for)."""
-                h = x1.shape[1]
-                pad = (-h) % CW
-                if pad:
-                    zL = jnp.zeros((U, pad), jnp.int32)
-                    z1 = jnp.ones((1, pad), jnp.int32)
-                    x1 = jnp.concatenate([x1, zL], axis=1)
-                    x2 = jnp.concatenate([x2, zL], axis=1)
-                    y1 = jnp.concatenate([y1, zL], axis=1)
-                    y2 = jnp.concatenate([y2, zL], axis=1)
-                    m1 = jnp.concatenate([m1, z1], axis=1)   # dead lanes
-                    m2 = jnp.concatenate([m2, z1], axis=1)
-                prefix, total, mdbl, inf3 = call_prefix(x1, y1, m1, x2, y2, m2)
-                tinv = batch_inv_t(F, total, mulT, BLK)
-                x3, y3 = call_down(x1, y1, m1, x2, y2, m2, prefix, tinv, mdbl)
-                if pad:
-                    x3 = x3[:, :h]
-                    y3 = y3[:, :h]
-                    inf3 = inf3[:, :h]
-                return x3, y3, inf3
-
-            chunked = pair_add_t_chunked
-
-        def pair_add_t(x1, y1, m1, x2, y2, m2):
+        def _pad6(x1, y1, m1, x2, y2, m2, blk):
             h = x1.shape[1]
-            pad = (-h) % BLK
+            pad = (-h) % blk
             if pad:
                 zL = jnp.zeros((U, pad), jnp.int32)
                 z1 = jnp.ones((1, pad), jnp.int32)
@@ -597,14 +594,70 @@ class DeviceMSM:
                 y2 = jnp.concatenate([y2, zL], axis=1)
                 m1 = jnp.concatenate([m1, z1], axis=1)   # dead lanes
                 m2 = jnp.concatenate([m2, z1], axis=1)
-            d, dbl, inf3 = pre(x1, y1, m1, x2, y2, m2)
-            dinv = batch_inv_t(F, d, mulT, BLK)
-            x3, y3 = post(x1, y1, x2, y2, dinv, dbl, m1, m2)
-            if pad:
-                x3 = x3[:, :h]
-                y3 = y3[:, :h]
-                inf3 = inf3[:, :h]
-            return x3, y3, inf3
+            return x1, y1, m1, x2, y2, m2, h, pad
+
+        chunked = None
+        if F.unit_ndim == 1 and not os.environ.get("CRYPTO_TPU_NO_CHUNKED"):
+            from .pallas.curve_kernels import (chunked_level_kernels_for,
+                                               chunked_level_kernels_fast,
+                                               CHUNK_K, CHUNK_BW)
+            CW = CHUNK_K * CHUNK_BW
+            if fast:
+                call_prefix, call_down = chunked_level_kernels_fast(
+                    base.L, base.p, base.field.Ninv_R)
+
+                def pair_add_t_chunked(x1, y1, m1, x2, y2, m2):
+                    (x1, y1, m1, x2, y2, m2, h, pad) = _pad6(
+                        x1, y1, m1, x2, y2, m2, CW)
+                    prefix, total, inf3 = call_prefix(x1, y1, m1, x2, y2, m2)
+                    # a zero chunk total == some live pair had d == 0
+                    # (doubling/cancellation): flag for the safe rerun
+                    zf = jnp.any(jnp.all(total == 0, axis=0)).astype(
+                        jnp.int32)
+                    tinv = batch_inv_t(F, total, mulT, BLK)
+                    x3, y3 = call_down(x1, y1, m1, x2, y2, m2, prefix, tinv)
+                    if pad:
+                        x3, y3, inf3 = x3[:, :h], y3[:, :h], inf3[:, :h]
+                    return x3, y3, inf3, zf
+            else:
+                call_prefix, call_down = chunked_level_kernels_for(
+                    base.L, base.p, base.field.Ninv_R)
+
+                def pair_add_t_chunked(x1, y1, m1, x2, y2, m2):
+                    (x1, y1, m1, x2, y2, m2, h, pad) = _pad6(
+                        x1, y1, m1, x2, y2, m2, CW)
+                    prefix, total, mdbl, inf3 = call_prefix(
+                        x1, y1, m1, x2, y2, m2)
+                    tinv = batch_inv_t(F, total, mulT, BLK)
+                    x3, y3 = call_down(x1, y1, m1, x2, y2, m2, prefix, tinv,
+                                       mdbl)
+                    if pad:
+                        x3, y3, inf3 = x3[:, :h], y3[:, :h], inf3[:, :h]
+                    return x3, y3, inf3, zero_flag
+
+            chunked = pair_add_t_chunked
+
+        if fast:
+            def pair_add_t(x1, y1, m1, x2, y2, m2):
+                (x1, y1, m1, x2, y2, m2, h, pad) = _pad6(
+                    x1, y1, m1, x2, y2, m2, BLK)
+                d, inf3 = pre(x1, y1, m1, x2, y2, m2)
+                zf = jnp.any(jnp.all(d == 0, axis=0)).astype(jnp.int32)
+                dinv = batch_inv_t(F, d, mulT, BLK)
+                x3, y3 = post(x1, y1, x2, y2, dinv, m1, m2)
+                if pad:
+                    x3, y3, inf3 = x3[:, :h], y3[:, :h], inf3[:, :h]
+                return x3, y3, inf3, zf
+        else:
+            def pair_add_t(x1, y1, m1, x2, y2, m2):
+                (x1, y1, m1, x2, y2, m2, h, pad) = _pad6(
+                    x1, y1, m1, x2, y2, m2, BLK)
+                d, dbl, inf3 = pre(x1, y1, m1, x2, y2, m2)
+                dinv = batch_inv_t(F, d, mulT, BLK)
+                x3, y3 = post(x1, y1, x2, y2, dinv, dbl, m1, m2)
+                if pad:
+                    x3, y3, inf3 = x3[:, :h], y3[:, :h], inf3[:, :h]
+                return x3, y3, inf3, zero_flag
 
         def dispatch_pair_add(x1, y1, m1, x2, y2, m2):
             # the chunked level wins above ~CW pairs (2 launches vs ~40);
@@ -620,7 +673,7 @@ class DeviceMSM:
 
         return halve_t, dispatch_pair_add, U, ush
 
-    def _bucket_sums_tpu(self, c: int, PAD: int, rounds):
+    def _bucket_sums_tpu(self, c: int, PAD: int, rounds, fast: bool = False):
         """TPU variant: the halving levels run as fused Pallas kernels in
         transposed (U, M) layout (U = L for G1/Fq, 2L for G2/Fq2); the
         rank-major half-split pairing keeps every level a contiguous slab
@@ -630,7 +683,7 @@ class DeviceMSM:
         F = self.F
         pads = tuple(rounds) if isinstance(rounds, (tuple, list)) \
             else (PAD,) * int(rounds)
-        halve_t, _pair_add_t, U, ush = self._fused_ctx()
+        halve_t, _pair_add_t, U, ush = self._fused_ctx(fast)
 
         def bucket_sums(dw, x, y, inf, order=None, starts=None, counts=None):
             if order is None:
@@ -645,8 +698,14 @@ class DeviceMSM:
                 x.shape[0], -1)                           # (N, U), 30-bit
             use_dma = bool(__import__("os").environ.get(
                 "CRYPTO_TPU_DMA_GATHER"))
+            if not use_dma and xy.shape[1] < 128:
+                # tile-aligned rows gather 3.1x faster (see bands variant)
+                xy = jnp.concatenate(
+                    [xy, jnp.zeros((xy.shape[0], 128 - xy.shape[1]),
+                                   jnp.int32)], axis=1)
             accx = accy = accm = None
             off = 0
+            flag = jnp.zeros((), jnp.int32)
             for pad_r in pads:
                 bgrid = jnp.tile(jnp.arange(B, dtype=jnp.int32), pad_r)
                 rgrid = jnp.repeat(jnp.arange(pad_r, dtype=jnp.int32), B)
@@ -662,26 +721,29 @@ class DeviceMSM:
                     srcd = jnp.where(valid, srcp, -1).astype(jnp.int32)
                     sxyT = gather_rows_t_fn(U)(xy, srcd)
                 else:
-                    sxyT = xy[srcp].T                     # (U, M)
+                    sxyT = xy[srcp].T[:U]                 # (U, M)
                 xT = sxyT & 0x7FFF
                 yT = sxyT >> 15
                 mT = (~valid).astype(jnp.int32)[None, :]
                 while xT.shape[1] > B:
-                    xT, yT, mT = halve_t(xT, yT, mT)
+                    xT, yT, mT, zf = halve_t(xT, yT, mT)
+                    flag = jnp.maximum(flag, zf)
                 if accx is None:
                     accx, accy, accm = xT, yT, mT
                 else:
-                    accx, accy, accm = halve_t(
+                    accx, accy, accm, zf = halve_t(
                         jnp.concatenate([accx, xT], axis=1),
                         jnp.concatenate([accy, yT], axis=1),
                         jnp.concatenate([accm, mT], axis=1))
+                    flag = jnp.maximum(flag, zf)
             outx = accx.T.reshape((accx.shape[1],) + ush)
             outy = accy.T.reshape((accy.shape[1],) + ush)
-            return AffinePoints(outx, outy, accm[0] > 0), maxc
+            return AffinePoints(outx, outy, accm[0] > 0), maxc, flag
 
         return bucket_sums
 
-    def _bucket_sums_tpu_bands(self, c: int, bands: tuple):
+    def _bucket_sums_tpu_bands(self, c: int, bands: tuple,
+                               fast: bool = True):
         """Staircase-band bucket reduction (TPU): buckets are processed in
         COUNT-SORTED order; band (Q, h, r0) lays out ranks [r0, r0+h) for
         the Q highest-count buckets only (Q, h pow2; Q >= #buckets with
@@ -696,24 +758,33 @@ class DeviceMSM:
         plan's inverse permutation before the weighted tail."""
         B = 1 << (c - 1)
         F = self.F
-        halve_t, pair_add_t, U, ush = self._fused_ctx()
+        halve_t, pair_add_t, U, ush = self._fused_ctx(fast)
 
         def bucket_sums_sorted(dw, x, y, inf, order, starts_p, counts_p):
             y_signed = F.select(dw < 0, F.neg(y), y)
             xy = (x | (y_signed << 15)).reshape(x.shape[0], -1)
+            # pad payload rows to one full 128-lane tile: XLA's row gather
+            # runs 3.1x faster on tile-aligned rows (13.2 vs 41.5 ms per 1M
+            # rows on v5e) and the padding write is bandwidth-trivial
+            if xy.shape[1] < 128:
+                xy = jnp.concatenate(
+                    [xy, jnp.zeros((xy.shape[0], 128 - xy.shape[1]),
+                                   jnp.int32)], axis=1)
             accx = accy = accm = None      # (U, B) running, sorted order
+            flag = jnp.zeros((), jnp.int32)
             for (Q, h, r0) in bands:
                 bgrid = jnp.tile(jnp.arange(Q, dtype=jnp.int32), h)
                 rank = jnp.repeat(jnp.arange(h, dtype=jnp.int32), Q) + r0
                 pos = starts_p[bgrid] + rank
                 valid = rank < counts_p[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
-                sxyT = xy[srcp].T                      # (U, Q*h)
+                sxyT = xy[srcp].T[:U]                  # (U, Q*h)
                 xT = sxyT & 0x7FFF
                 yT = sxyT >> 15
                 mT = (~valid).astype(jnp.int32)[None, :]
                 while xT.shape[1] > Q:
-                    xT, yT, mT = halve_t(xT, yT, mT)
+                    xT, yT, mT, zf = halve_t(xT, yT, mT)
+                    flag = jnp.maximum(flag, zf)
                 if accx is None:
                     if Q < B:              # pad first band to full width
                         zL = jnp.zeros((U, B - Q), jnp.int32)
@@ -724,32 +795,37 @@ class DeviceMSM:
                     accx, accy, accm = xT, yT, mT
                 else:
                     # combine into the sorted prefix [:Q] only
-                    cx, cy, cm = pair_add_t(accx[:, :Q], accy[:, :Q],
-                                            accm[:, :Q], xT, yT, mT)
+                    cx, cy, cm, zf = pair_add_t(accx[:, :Q], accy[:, :Q],
+                                                accm[:, :Q], xT, yT, mT)
+                    flag = jnp.maximum(flag, zf)
                     accx = jnp.concatenate([cx, accx[:, Q:]], axis=1)
                     accy = jnp.concatenate([cy, accy[:, Q:]], axis=1)
                     accm = jnp.concatenate([cm, accm[:, Q:]], axis=1)
             outx = accx.T.reshape((B,) + ush)
             outy = accy.T.reshape((B,) + ush)
-            return AffinePoints(outx, outy, accm[0] > 0)
+            return AffinePoints(outx, outy, accm[0] > 0), flag
 
         return bucket_sums_sorted
 
-    def window_program_bands(self, N: int, c: int, bands: tuple):
-        """Fused staircase-band bucket sums + inverse-permutation + tail."""
-        key = ("wpb", N, c, bands)
+    def window_program_bands(self, N: int, c: int, bands: tuple,
+                             fast: bool = True):
+        """Fused staircase-band bucket sums + inverse-permutation + tail.
+        Returns (x, y, inf, zflag); zflag != 0 means the fast distinct-
+        points kernels hit a colliding pair and the window must be rerun
+        with fast=False (see `_fused_ctx`)."""
+        key = ("wpb", N, c, bands, fast)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self._bucket_sums_tpu_bands(c, bands)
+        bucket_sums = self._bucket_sums_tpu_bands(c, bands, fast=fast)
         tail = self.tail_fn(c)
 
         def full(dw, x, y, inf, order, starts_p, counts_p, invperm):
-            P = bucket_sums(dw, x, y, inf, order, starts_p, counts_p)
+            P, flag = bucket_sums(dw, x, y, inf, order, starts_p, counts_p)
             px = P.x[invperm]              # back to natural bucket order
             py = P.y[invperm]
             pinf = P.inf[invperm]
             ox, oy, oinf = tail(px, py, pinf)
-            return ox, oy, oinf
+            return ox, oy, oinf, flag
 
         prog = full if jax.default_backend() == "cpu" else jax.jit(full)
         self._jits[key] = prog
@@ -918,18 +994,20 @@ class DeviceMSM:
 
         return tail_b
 
-    def bucket_program(self, N: int, c: int, PAD: int, rounds: int = 1):
+    def bucket_program(self, N: int, c: int, PAD: int, rounds: int = 1,
+                       fast: bool = True):
         """Jit cache for the bucket-sums-only program taking the precomputed
         sort plan (tail runs separately, batched across windows — see
         `tail_batched_fn`)."""
-        key = ("bs", N, c, PAD, rounds)
+        key = ("bs", N, c, PAD, rounds, fast)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True)
+        bucket_sums = self.bucket_sums_fn(c, PAD, rounds, planned=True,
+                                          fast=fast)
 
         def bs(dw, x, y, inf, order, starts, counts):
-            P, maxc = bucket_sums(dw, x, y, inf, order, starts, counts)
-            return P.x, P.y, P.inf
+            P, maxc, flag = bucket_sums(dw, x, y, inf, order, starts, counts)
+            return P.x, P.y, P.inf, flag
 
         prog = bs if jax.default_backend() == "cpu" else jax.jit(bs)
         self._jits[key] = prog
@@ -1096,15 +1174,20 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     # feed (unit,)-shaped window points into the (W, B, unit) batched tail
     batched_tail = (bool(os.environ.get("CRYPTO_TPU_BATCHED_TAIL"))
                     and not use_bands)
-    wouts = []
-    for w in range(W):
+    # doubling-free fast kernels by default on the fused G1 path; a
+    # colliding pair (duplicate base in a bucket, or a negligible-probability
+    # partial-sum collision) raises the window's zflag and that window is
+    # rerun below with the total-formula kernels
+    fast = (on_tpu_fused and F.unit_ndim == 1
+            and not os.environ.get("CRYPTO_TPU_SAFE_AFFINE"))
+
+    def run_window(w, fast_w):
         occ = int(occs[w])
         if use_bands:
-            prog = engine.window_program_bands(N, c, shared_bands)
-            wouts.append(prog(digits[w], points.X, points.Y, inf_mask,
-                              order[w], starts_p[w], counts_p[w],
-                              invperm[w]))
-            continue
+            prog = engine.window_program_bands(N, c, shared_bands,
+                                               fast=fast_w)
+            return prog(digits[w], points.X, points.Y, inf_mask,
+                        order[w], starts_p[w], counts_p[w], invperm[w])
         if occ <= PAD_MAX:
             pads = (1 << (occ - 1).bit_length(),)
         else:
@@ -1115,11 +1198,23 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
             if rem:
                 pads = pads + (1 << (rem - 1).bit_length(),)
         if batched_tail:
-            prog = engine.bucket_program(N, c, pads[0], pads)
+            prog = engine.bucket_program(N, c, pads[0], pads, fast=fast_w)
         else:
-            prog = engine.window_program_planned(N, c, pads[0], pads)
-        wouts.append(prog(digits[w], points.X, points.Y, inf_mask,
-                          order[w], starts[w], counts[w]))
+            prog = engine.window_program_planned(N, c, pads[0], pads,
+                                                 fast=fast_w)
+        return prog(digits[w], points.X, points.Y, inf_mask,
+                    order[w], starts[w], counts[w])
+
+    wouts = [run_window(w, fast) for w in range(W)]
+    if fast:
+        flags = np.asarray(jax.device_get(jnp.stack(
+            [o[-1] for o in wouts])))
+        for w in np.nonzero(flags)[0]:
+            import logging
+            logging.getLogger("crypto_tpu.msm").warning(
+                "msm_v2: colliding pair in window %d (duplicate bases?), "
+                "rerunning with total-formula kernels", int(w))
+            wouts[int(w)] = run_window(int(w), False)
 
     if batched_tail:
         # one (W,)-wide tail program (see window_program_planned docstring:

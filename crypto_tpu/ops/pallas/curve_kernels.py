@@ -574,10 +574,183 @@ def _denom_dbl_inf(F: FieldCtx, c, X1, Y1, X2, Y2, i1, i2):
     return d, is_dbl, is_inf3
 
 
+def _denom_fast(F: FieldCtx, c, X1, X2, i1, i2):
+    """Doubling-free denominator: d = x2 - x1, with 1 in dead lanes and
+    inf3 = both-infinite.  Real MSM workloads (CRS bases, commitment keys)
+    have distinct bases, so a doubling/cancellation inside the bucket
+    reduction means two disjoint partial sums collided — cryptographically
+    negligible, and when it DOES happen d == 0 zeroes the inversion-tree
+    product, which the caller detects (zero chunk total / zero d) and
+    reruns the window through the total-formula kernels.  Cuts the x1^2
+    doubling numerator, the same-x/opposite-y equality reduces, and the
+    field negation from every pair."""
+    both = (~i1) & (~i2)
+    d = F.sub(c, X2, X1)
+    onev = jnp.concatenate(
+        [jnp.ones((1, d.shape[1]), jnp.int32),
+         jnp.zeros((d.shape[0] - 1, d.shape[1]), jnp.int32)], axis=0)
+    d = jnp.where(~both, onev, d)
+    return d, (i1 & i2)
+
+
 # sub-slice width of the chunked level kernels (the onehot mul's natural
 # block) and the number of sub-slices chained per block
 CHUNK_BW = 512
 CHUNK_K = 8
+
+
+@functools.lru_cache(maxsize=None)
+def chunked_level_kernels_fast(L: int, p_int: int, ninv_int: int,
+                               k: int = CHUNK_K, bw: int = CHUNK_BW):
+    """Doubling-free variant of `chunked_level_kernels_for` (see
+    `_denom_fast` for the contract): prefix emits no dbl mask, down applies
+    the distinct-points add formula (3 muls: lambda, lambda^2, y3)."""
+    F = FieldCtx(L, p_int, ninv_int, onehot=True)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+    W = k * bw
+    NC = len(F.names)
+
+    def io_spec(rows, blk):
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def prefix_kernel(x1, y1, m1, x2, y2, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        oprefix, ototal, oinf = rest[NC], rest[NC + 1], rest[NC + 2]
+        acc = None
+        for j in range(k):
+            sl = slice(j * bw, (j + 1) * bw)
+            d, is_inf3 = _denom_fast(F, c, x1[:, sl], x2[:, sl],
+                                     m1[:, sl] > 0, m2[:, sl] > 0)
+            acc = d if acc is None else F.mul(c, acc, d)
+            oprefix[:, sl] = acc
+            oinf[:, sl] = is_inf3.astype(jnp.int32)
+        ototal[:] = acc
+
+    def down_kernel(x1, y1, m1, x2, y2, m2, prefix, tinv, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        ox, oy = rest[NC], rest[NC + 1]
+        t = tinv[:]
+        for j in range(k - 1, -1, -1):
+            sl = slice(j * bw, (j + 1) * bw)
+            X1, Y1, X2, Y2 = x1[:, sl], y1[:, sl], x2[:, sl], y2[:, sl]
+            i1 = m1[:, sl] > 0
+            i2 = m2[:, sl] > 0
+            if j > 0:
+                psl = slice((j - 1) * bw, j * bw)
+                dinv = F.mul(c, t, prefix[:, psl])
+                d, _inf = _denom_fast(F, c, X1, X2, i1, i2)
+                t = F.mul(c, t, d)
+            else:
+                dinv = t
+            lam = F.mul(c, F.sub(c, Y2, Y1), dinv)
+            x3 = F.sub(c, F.sub(c, F.square(c, lam), X1), X2)
+            y3 = F.sub(c, F.mul(c, lam, F.sub(c, X1, x3)), Y1)
+            x3 = jnp.where(i1, X2, jnp.where(i2 & (~i1), X1, x3))
+            y3 = jnp.where(i1, Y2, jnp.where(i2 & (~i1), Y1, y3))
+            ox[:, sl] = x3
+            oy[:, sl] = y3
+
+    def call_prefix(x1, y1, m1, x2, y2, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            prefix_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B // k), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)),
+            grid=(B // W,),
+            in_specs=[io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, W), io_spec(1, W)]
+            + const_specs,
+            out_specs=(io_spec(L, W), io_spec(L, bw), io_spec(1, W)),
+        )(x1, y1, m1, x2, y2, m2, *consts)
+
+    def call_down(x1, y1, m1, x2, y2, m2, prefix, tinv):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            down_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B), jnp.int32)),
+            grid=(B // W,),
+            in_specs=[io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, W), io_spec(1, W),
+                      io_spec(L, W), io_spec(L, bw)] + const_specs,
+            out_specs=(io_spec(L, W), io_spec(L, W)),
+        )(x1, y1, m1, x2, y2, m2, prefix, tinv, *consts)
+
+    return call_prefix, call_down
+
+
+@functools.lru_cache(maxsize=None)
+def affine_kernels_fast(L: int, p_int: int, ninv_int: int,
+                        block_b: int = 512):
+    """Doubling-free variant of `affine_kernels_for` (see `_denom_fast`):
+    pre emits (d, inf3) only; post applies the 3-mul distinct-points
+    formula.  Used with a caller-side zero-denominator check + safe
+    rerun."""
+    F = FieldCtx(L, p_int, ninv_int, onehot=True)
+    consts = [F.tables[n] for n in F.names]
+    const_specs = [
+        pl.BlockSpec(F.shapes[n], lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n in F.names
+    ]
+    NC = len(F.names)
+
+    def io_spec(rows, blk):
+        return pl.BlockSpec((rows, blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def pre_kernel(x1, y1, m1, x2, y2, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        od, oinf = rest[NC], rest[NC + 1]
+        d, is_inf3 = _denom_fast(F, c, x1[:], x2[:], m1[:] > 0, m2[:] > 0)
+        od[:] = d
+        oinf[:] = is_inf3.astype(jnp.int32)
+
+    def post_kernel(x1, y1, x2, y2, dinv, m1, m2, *rest):
+        c = dict(zip(F.names, (r[:] for r in rest[:NC])))
+        ox, oy = rest[NC], rest[NC + 1]
+        X1, Y1, X2, Y2, DI = x1[:], y1[:], x2[:], y2[:], dinv[:]
+        i1 = m1[:] > 0
+        i2 = m2[:] > 0
+        lam = F.mul(c, F.sub(c, Y2, Y1), DI)
+        x3 = F.sub(c, F.sub(c, F.square(c, lam), X1), X2)
+        y3 = F.sub(c, F.mul(c, lam, F.sub(c, X1, x3)), Y1)
+        x3 = jnp.where(i1, X2, jnp.where(i2 & (~i1), X1, x3))
+        y3 = jnp.where(i1, Y2, jnp.where(i2 & (~i1), Y1, y3))
+        ox[:] = x3
+        oy[:] = y3
+
+    def call_pre(x1, y1, m1, x2, y2, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            pre_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(L, block_b), io_spec(L, block_b),
+                      io_spec(1, block_b), io_spec(L, block_b),
+                      io_spec(L, block_b), io_spec(1, block_b)] + const_specs,
+            out_specs=(io_spec(L, block_b), io_spec(1, block_b)),
+        )(x1, y1, m1, x2, y2, m2, *consts)
+
+    def call_post(x1, y1, x2, y2, dinv, m1, m2):
+        B = x1.shape[1]
+        return pl.pallas_call(
+            post_kernel,
+            out_shape=(jax.ShapeDtypeStruct((L, B), jnp.int32),
+                       jax.ShapeDtypeStruct((L, B), jnp.int32)),
+            grid=(B // block_b,),
+            in_specs=[io_spec(L, block_b)] * 5
+            + [io_spec(1, block_b)] * 2 + const_specs,
+            out_specs=(io_spec(L, block_b), io_spec(L, block_b)),
+        )(x1, y1, x2, y2, dinv, m1, m2, *consts)
+
+    return call_pre, call_post
 
 
 @functools.lru_cache(maxsize=None)

@@ -98,7 +98,7 @@ def _make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
     if collective:
         def step(dw, x, y, inf):
             def local(dw_s, x_s, y_s, inf_s):
-                Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
+                Ploc, _maxc, _flag = bucket_sums(dw_s, x_s, y_s, inf_s)
                 # one ICI all_gather of the (B,) bucket vector per shard;
                 # combine + O(B) tail run replicated on every device
                 gx = jax.lax.all_gather(Ploc.x, axis)
@@ -114,7 +114,7 @@ def _make_sharded_window_step(jc: JCurve, mesh: Mesh, c: int, PAD: int,
     else:
         def step(dw, x, y, inf):
             def local(dw_s, x_s, y_s, inf_s):
-                Ploc, _maxc = bucket_sums(dw_s, x_s, y_s, inf_s)
+                Ploc, _maxc, _flag = bucket_sums(dw_s, x_s, y_s, inf_s)
                 return Ploc.x, Ploc.y, Ploc.inf
 
             sm = _shard_map(local, mesh=mesh,

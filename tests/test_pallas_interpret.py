@@ -156,8 +156,8 @@ inf = jc.is_infinity(packed)
 fused = engine.bucket_sums_fn(c, padb)           # TPU path (forced)
 del os.environ["CRYPTO_TPU_FORCE_TPU_MSM"]
 generic = engine.bucket_sums_fn(c, padb)         # generic jnp path
-Pf, _ = fused(digits[0], packed.X, packed.Y, inf)
-Pg, _ = generic(digits[0], packed.X, packed.Y, inf)
+Pf, _, _fl = fused(digits[0], packed.X, packed.Y, inf)
+Pg, _, _fl2 = generic(digits[0], packed.X, packed.Y, inf)
 inf_f = np.asarray(Pf.inf)
 inf_g = np.asarray(Pg.inf)
 assert (inf_f == inf_g).all(), "G2 bucket inf mask mismatch"
@@ -247,6 +247,7 @@ print("chunked level interpret OK")
 """
 
 
+@pytest.mark.slow
 def test_chunked_level_interpret_mode():
     env = dict(os.environ)
     env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
@@ -255,4 +256,66 @@ def test_chunked_level_interpret_mode():
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     assert "chunked level interpret OK" in out.stdout, \
+        out.stderr[-3000:] + out.stdout[-500:]
+
+
+SCRIPT_FAST = r"""
+import os
+os.environ["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+os.environ["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import logging
+import random
+import numpy as np
+import jax.numpy as jnp
+from crypto_tpu.curves import bls12_381 as bls
+from crypto_tpu.curves.jcurve import jcurve_for
+from crypto_tpu.ops import msm_v2
+
+rng = random.Random(31)
+jc = jcurve_for(bls.G1)
+G = bls.G1.generator()
+n, c = 16, 8
+dlogs = [rng.randrange(1, 1 << 40) for _ in range(n)]
+dlogs[7] = dlogs[3]                      # duplicate base -> bucket collision
+pts = [(G.mul_raw(a)).normalize() for a in dlogs]
+scal = [rng.randrange(1, 1 << 16) for _ in range(n)]
+scal[7] = scal[3]                        # same digits -> same buckets
+packed = jc.pack_points(pts)
+
+records = []
+h = logging.Handler()
+h.emit = lambda rec: records.append(rec.getMessage())
+logging.getLogger("crypto_tpu.msm").addHandler(h)
+
+res = msm_v2.msm_device_scheduled(bls.G1, packed, scal, c=c, nbits=16)
+expect = G.mul_raw(sum(s * a for s, a in zip(scal, dlogs)) % bls.R)
+assert res.normalize() == expect.normalize(), "fast-path MSM mismatch"
+assert any("rerunning" in m for m in records), \
+    f"duplicate base did not trip the fast-path flag: {records}"
+print("fast path collision rerun OK")
+
+# distinct bases: no flag, exact result
+dlogs2 = [rng.randrange(1, 1 << 40) for _ in range(n)]
+pts2 = [(G.mul_raw(a)).normalize() for a in dlogs2]
+packed2 = jc.pack_points(pts2)
+records.clear()
+res2 = msm_v2.msm_device_scheduled(bls.G1, packed2, scal, c=c, nbits=16)
+expect2 = G.mul_raw(sum(s * a for s, a in zip(scal, dlogs2)) % bls.R)
+assert res2.normalize() == expect2.normalize(), "fast-path distinct mismatch"
+assert not records, f"unexpected rerun on distinct bases: {records}"
+print("fast path distinct bases OK")
+"""
+
+
+@pytest.mark.slow
+def test_fast_path_collision_rerun_interpret_mode():
+    env = dict(os.environ)
+    env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+    env["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+    out = subprocess.run([sys.executable, "-c", SCRIPT_FAST], env=env,
+                         capture_output=True, text=True, timeout=1800,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "fast path distinct bases OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
