@@ -1205,6 +1205,11 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
         return prog(digits[w], points.X, points.Y, inf_mask,
                     order[w], starts[w], counts[w])
 
+    if use_bands and os.environ.get("CRYPTO_TPU_METRICS"):
+        from ..utils.metrics import msm_cost_model, emit
+        emit("msm_v2", msm_cost_model(N, c, shared_bands, W, F.L
+                                      if F.unit_ndim == 1 else F.base.L,
+                                      fast=True))
     wouts = [run_window(w, fast) for w in range(W)]
     if fast:
         flags = np.asarray(jax.device_get(jnp.stack(

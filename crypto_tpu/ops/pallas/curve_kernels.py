@@ -107,9 +107,15 @@ class FieldCtx:
         self.L = L
         self.onehot = onehot
         tb = fk._const_tables(L, p_int, ninv_int)
-        self.names = ["ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
-        if onehot:
-            self.names = ["oh"] + self.names
+        self.kar = onehot and fk.use_karatsuba(L)
+        if self.kar:
+            tb.update(fk._kar_tables(L, p_int))
+            self.names = fk.mul_const_names(L)
+        elif onehot:
+            self.names = ["oh", "ninv_lo", "ninv_hi", "p_lo", "p_hi",
+                          "p_ext"]
+        else:
+            self.names = ["ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
         # numpy (not jnp) so lru-cached factories never capture tracers
         self.tables = {n: np.asarray(tb[n]) for n in self.names}
         self.shapes = {n: tb[n].shape for n in self.names}
@@ -129,6 +135,9 @@ class FieldCtx:
 
     def mul(self, c, a, b):
         L = self.L
+        if "oh13" in c or "oh" in c:
+            return fk._mont_mul_body(c, a, b, L)
+        # roll/MAC VPU form (no one-hot tables shipped)
         t = fk._carry_ks_rows(self._wide_cols(c, a, b), 2 * L)
         m_main, m_carry = fk._toeplitz_mul(t[:L], c["ninv_lo"], c["ninv_hi"])
         m = fk._carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)

@@ -133,6 +133,99 @@ def _const_tables(L: int, p_int: int, ninv_int: int):
     )
 
 
+def use_karatsuba(L: int) -> bool:
+    """Karatsuba wide-mul applies to even limb counts (BLS12-381 L=26);
+    odd-L fields (BN254 L=17) keep the schoolbook one-hot path."""
+    return L % 2 == 0 and not _os.environ.get("CRYPTO_TPU_NO_KARATSUBA")
+
+
+def _kar_tables(L: int, p_int: int):
+    """Karatsuba constants: the half-width one-hot column router and the
+    negativity-offset row vector.
+
+    The middle product is computed as z0 + z2 - zm with
+    zm = (a0-a1)(b0-b1) — SIGNED operands in (-2^15, 2^15), so per-row
+    main/carry streams of the middle block can dip to -13*2^15*2 > -2^20
+    even though the combined value is nonnegative.  `kar_off` adds a
+    constant C == lam*p (so REDC output is unchanged mod p) whose row
+    decomposition puts 2^20 on every middle row, keeping all columns
+    nonnegative for the shared carry machinery."""
+    Lh = L // 2
+    oh13 = np.zeros((2 * Lh, Lh * Lh), dtype=np.float32)
+    for i in range(Lh):
+        for j in range(Lh):
+            oh13[i + j, i * Lh + j] = 1.0
+    c_target = sum((1 << 20) << (LIMB_BITS * k) for k in range(Lh, Lh + 2 * Lh))
+    lam = -(-c_target // p_int)
+    rem = lam * p_int - c_target
+    rows = np.zeros(2 * L, dtype=np.int64)
+    rows[Lh:Lh + 2 * Lh] += 1 << 20
+    rem_limbs = int_to_limbs(rem, 2 * L).astype(np.int64)
+    rows += rem_limbs
+    assert rows.max() < (1 << 21)
+    return dict(oh13=oh13,
+                kar_off=rows.astype(np.int32).reshape(2 * L, 1))
+
+
+def _wide_cols_kar(a, b, oh13, kar_off, L):
+    """Uncarried product columns (2L, B) of a*b + C via one-level Karatsuba
+    (subtractive form: zm = (a0-a1)(b0-b1), z0+z2-zm = middle), with the
+    constant C == lam*p offset keeping every row nonnegative (< 2^22).
+    3 * (L/2)^2 limb products instead of L^2."""
+    Lh = L // 2
+    a0, a1 = a[:Lh], a[Lh:]
+    b0, b1 = b[:Lh], b[Lh:]
+
+    def stream_u(P):            # nonneg products < 2^30
+        Plo = (P & LIMB_MASK).astype(jnp.float32)
+        Phi = (P >> LIMB_BITS).astype(jnp.float32)
+        lo = _f32dot(oh13, Plo).astype(jnp.int32)
+        hi = _f32dot(oh13, Phi).astype(jnp.int32)
+        return lo + _shift_rows_down(hi, 1)          # (2Lh, B) < 2^19.8
+
+    def outer(x, y):
+        return jnp.concatenate([x[i:i + 1, :] * y for i in range(Lh)], axis=0)
+
+    z0 = stream_u(outer(a0, b0))
+    z2 = stream_u(outer(a1, b1))
+    am = a0 - a1                                      # (-2^15, 2^15)
+    bm = b0 - b1
+    Pm = outer(am, bm)                                # signed, |.| < 2^30
+    # signed split: & keeps the nonneg low 15 bits, arithmetic >> the rest
+    Pm_lo = (Pm & LIMB_MASK).astype(jnp.float32)
+    Pm_hi = (Pm >> LIMB_BITS).astype(jnp.float32)     # in [-2^15, 2^15)
+    zm = (_f32dot(oh13, Pm_lo).astype(jnp.int32)
+          + _shift_rows_down(_f32dot(oh13, Pm_hi).astype(jnp.int32), 1))
+    mid = z0 + z2 - zm                                # true value >= 0
+    # rows [0,Lh): z0 | [Lh,2Lh): z0+mid | [2Lh,3Lh): mid+z2 | [3Lh,4Lh): z2
+    cols = jnp.concatenate([
+        z0[:Lh],
+        z0[Lh:] + mid[:Lh],
+        mid[Lh:] + z2[:Lh],
+        z2[Lh:],
+    ], axis=0) + kar_off
+    return cols                                       # nonneg, < 2^22.5
+
+
+def _toeplitz_mul3(x, c_lo, c_hi):
+    """`_toeplitz_mul` for UNCARRIED x with rows < 2^23: x splits into
+    three pieces (7 + 8 + 8 bits), every f32 product < 2^16 and every
+    26-term column sum < 2^21 stays exact.  Returns (main, carry) with
+    value = main + 2^15 * carry, main < 2^30, carry < 2^30."""
+    x0 = (x & 0x7F).astype(jnp.float32)
+    x1 = ((x >> 7) & 0xFF).astype(jnp.float32)
+    x2 = (x >> 15).astype(jnp.float32)
+    ll = _f32dot(c_lo, x0).astype(jnp.int32)
+    lm = _f32dot(c_lo, x1).astype(jnp.int32)
+    lh = _f32dot(c_lo, x2).astype(jnp.int32)
+    hl = _f32dot(c_hi, x0).astype(jnp.int32)
+    hm = _f32dot(c_hi, x1).astype(jnp.int32)
+    hh = _f32dot(c_hi, x2).astype(jnp.int32)
+    main = ll + (lm << 7) + (hl << 8)
+    carry = lh + hm + (hh << 8)
+    return main, carry
+
+
 def _toeplitz_mul(x, c_lo, c_hi):
     """(main, carry) streams of C @ x where C = c_lo + 2^8 c_hi and
     x = (x & 0x7F) + 2^7 (x >> 7).  All four f32 matmuls exact
@@ -148,35 +241,52 @@ def _toeplitz_mul(x, c_lo, c_hi):
     return main, hh
 
 
-def _make_mont_mul_kernel(L: int):
-    def kernel(a_ref, b_ref, oh_ref, ninv_lo_ref, ninv_hi_ref,
-               p_lo_ref, p_hi_ref, p_ext_ref, out_ref):
-        a = a_ref[:]
-        b = b_ref[:]
-        B = a.shape[1]
+def _mont_mul_body(c: dict, a, b, L: int):
+    """Full Montgomery mul on loaded (L, B) values given the constant dict.
 
-        # wide product columns via one-hot matmul; build (L*L, B) by
-        # stacking row-broadcast products (no 3D reshape -> no relayout)
+    With Karatsuba tables present ('oh13'/'kar_off'): one-level Karatsuba
+    wide-mul producing UNCARRIED nonneg columns, fed straight into a
+    3-way-split ninv Toeplitz — skips the first full-width carry pass
+    (one of three), ~3/4 the limb products.
+
+    Otherwise: schoolbook one-hot columns + 2-way Toeplitz (original)."""
+    if "oh13" in c:
+        t = _wide_cols_kar(a, b, c["oh13"], c["kar_off"], L)   # uncarried
+        m_main, m_carry = _toeplitz_mul3(t[:L], c["ninv_lo"], c["ninv_hi"])
+    else:
         P = jnp.concatenate([a[i:i + 1, :] * b for i in range(L)], axis=0)
         Plo = (P & LIMB_MASK).astype(jnp.float32)
         Phi = (P >> LIMB_BITS).astype(jnp.float32)
-        oh = oh_ref[:]
+        oh = c["oh"]
         cols_lo = _f32dot(oh, Plo).astype(jnp.int32)           # (2L, B) < 2^21
         cols_hi = _f32dot(oh, Phi).astype(jnp.int32)
         t = _carry_ks_rows(cols_lo + _shift_rows_down(cols_hi, 1), 2 * L)
+        m_main, m_carry = _toeplitz_mul(t[:L], c["ninv_lo"], c["ninv_hi"])
 
-        # m = (t mod R) * ninv mod R
-        m_main, m_carry = _toeplitz_mul(t[:L], ninv_lo_ref[:], ninv_hi_ref[:])
-        m = _carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)
+    # m = (t mod R) * ninv mod R
+    m = _carry_ks_rows(m_main + _shift_rows_down(m_carry, 1), L)
+    # u = m * p (full width); s = (t + u) / R
+    u_main, u_carry = _toeplitz_mul(m, c["p_lo"], c["p_hi"])
+    u = u_main + _shift_rows_down(u_carry, 1)
+    s = _carry_ks_rows(t + u, 2 * L + 1)
+    res = s[L:]
+    d, borrow = _sub_ks_rows(res, c["p_ext"])
+    return jnp.where(borrow > 0, res[:L], d[:L])
 
-        # u = m * p (full width)
-        u_main, u_carry = _toeplitz_mul(m, p_lo_ref[:], p_hi_ref[:])
-        u = u_main + _shift_rows_down(u_carry, 1)
 
-        s = _carry_ks_rows(t + u, 2 * L + 1)
-        res = s[L:]
-        d, borrow = _sub_ks_rows(res, p_ext_ref[:])
-        out_ref[:] = jnp.where(borrow > 0, res[:L], d[:L])
+def mul_const_names(L: int) -> list:
+    """Constant-table names for `_mont_mul_body` (order matters for the
+    pallas_call wrappers that zip names to refs)."""
+    if use_karatsuba(L):
+        return ["oh13", "kar_off", "ninv_lo", "ninv_hi", "p_lo", "p_hi",
+                "p_ext"]
+    return ["oh", "ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
+
+
+def _make_mont_mul_kernel(L: int, names: list):
+    def kernel(a_ref, b_ref, *rest):
+        cvals = dict(zip(names, (r[:] for r in rest[:len(names)])))
+        rest[len(names)][:] = _mont_mul_body(cvals, a_ref[:], b_ref[:], L)
 
     return kernel
 
@@ -256,9 +366,11 @@ def gather_rows_t_fn(ncols: int, block_b: int = 2048, nchunk: int = 32):
 def mont_mul_t_fn(L: int, p_int: int, ninv_int: int, block_b: int = BLOCK_B):
     """Batched Montgomery mul in transposed layout: (L, B) x (L, B) -> (L, B).
     B must be a multiple of block_b (caller pads)."""
-    kernel = _make_mont_mul_kernel(L)
+    names = mul_const_names(L)
+    kernel = _make_mont_mul_kernel(L, names)
     tb = _const_tables(L, p_int, ninv_int)
-    names = ["oh", "ninv_lo", "ninv_hi", "p_lo", "p_hi", "p_ext"]
+    if use_karatsuba(L):
+        tb.update(_kar_tables(L, p_int))
     # keep constants as NUMPY arrays: this factory is lru-cached and may be
     # first invoked inside a jit trace — jnp.asarray there would capture
     # per-trace tracers in the closure (UnexpectedTracerError on reuse)

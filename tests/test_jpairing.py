@@ -53,6 +53,7 @@ def test_bilinearity_on_device(jp):
 # BN254 device pairing (D-twist ate loop, `curves/jpairing.py` JPairingBN)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_bn254_device_multi_pairing():
     """BN254 D-twist parity in ONE fused call (same rationale as the BLS
     test above: per-call eager dispatch dominates on CPU).  The product

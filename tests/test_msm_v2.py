@@ -66,8 +66,11 @@ def test_affine_pair_add_total():
             assert xs[i] == ex and ys[i] == ey, f"case {i} mismatch"
 
 
-@pytest.mark.parametrize("n", [64, 200])
+@pytest.mark.parametrize("n", [200])
 def test_msm_v2_vs_host(n):
+    # n=200 exercises the ragged pow2-padding path; the pow2 case rides the
+    # same programs (dropped from the default lane: on the 4-core CI box
+    # each eager-dispatch MSM costs ~1-3 min of wall clock)
     pts = [b.G1.rand(rng).normalize() for _ in range(n)]
     pts[3] = b.G1.infinity()
     # 64-bit scalars keep the eager CPU run fast (8 windows, not 32);
@@ -119,3 +122,21 @@ def test_engine_cross_check_v1_v2():
         exp = exp + p * s
     assert v2.normalize() == exp.normalize()
     assert v1.normalize() == exp.normalize()
+
+
+def test_msm_cost_model():
+    """Analytic work counters (SURVEY §5.5 metrics): slot count must match
+    the band layout exactly and the mul count the documented 6-muls/add
+    fast formula + tail estimate."""
+    from crypto_tpu.ops.msm_v2 import _model_bands
+    from crypto_tpu.utils.metrics import msm_cost_model
+    N, c = 1 << 20, 16
+    bands, _occ = _model_bands(N, c)
+    m = msm_cost_model(N, c, bands, W=16, L=26, fast=True)
+    assert m["slots"] == sum(Q * h for (Q, h, _) in bands)
+    assert 1.0 < m["slots_per_point"] < 1.5
+    per_window_adds = m["pair_adds"] // 16
+    assert m["slots"] - (1 << 15) - len(bands) * (1 << 15) \
+        <= per_window_adds <= m["slots"]
+    assert m["field_muls"] == 16 * (per_window_adds * 6 + 2 * (1 << 15))
+    assert m["gather_bytes"] == m["gather_rows"] * 512
