@@ -831,6 +831,36 @@ class DeviceMSM:
         self._jits[key] = prog
         return prog
 
+    def window_program_bands_group(self, N: int, c: int, bands: tuple,
+                                   G: int, fast: bool = True):
+        """G windows per compiled program (unrolled): XLA overlaps one
+        window's latency-bound gather with another's compute-bound levels,
+        and the host dispatches W/G programs instead of W.  Returns
+        (x (G,unit), y (G,unit), inf (G,), zflag ())."""
+        key = ("wpbg", N, c, bands, G, fast)
+        if key in self._jits:
+            return self._jits[key]
+        bucket_sums = self._bucket_sums_tpu_bands(c, bands, fast=fast)
+        tail = self.tail_fn(c)
+
+        def full(dws, x, y, inf, orders, starts_ps, counts_ps, invperms):
+            oxs, oys, oinfs = [], [], []
+            flag = jnp.zeros((), jnp.int32)
+            for g in range(G):
+                P, fl = bucket_sums(dws[g], x, y, inf, orders[g],
+                                    starts_ps[g], counts_ps[g])
+                flag = jnp.maximum(flag, fl)
+                ox, oy, oinf = tail(P.x[invperms[g]], P.y[invperms[g]],
+                                    P.inf[invperms[g]])
+                oxs.append(ox)
+                oys.append(oy)
+                oinfs.append(oinf)
+            return (jnp.stack(oxs), jnp.stack(oys), jnp.stack(oinfs), flag)
+
+        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        self._jits[key] = prog
+        return prog
+
     def tail_fn(self, c: int):
         """Bucket sums (B,) -> window point, via the two-axis weighted
         reduction: bucket b (0-based) has weight b+1 = q*C + c + 1 with
@@ -1210,7 +1240,20 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
         emit("msm_v2", msm_cost_model(N, c, shared_bands, W, F.L
                                       if F.unit_ndim == 1 else F.base.L,
                                       fast=True))
-    wouts = [run_window(w, fast) for w in range(W)]
+    wgroup = int(os.environ.get("CRYPTO_TPU_WGROUP", "1"))
+    if use_bands and wgroup > 1 and W % wgroup == 0:
+        gprog = engine.window_program_bands_group(N, c, shared_bands,
+                                                  wgroup, fast=fast)
+        wouts = []
+        for g0 in range(0, W, wgroup):
+            sl = slice(g0, g0 + wgroup)
+            gx, gy, gi, gf = gprog(digits[sl], points.X, points.Y, inf_mask,
+                                   order[sl], starts_p[sl], counts_p[sl],
+                                   invperm[sl])
+            for j in range(wgroup):
+                wouts.append((gx[j], gy[j], gi[j], gf))
+    else:
+        wouts = [run_window(w, fast) for w in range(W)]
     if fast:
         flags = np.asarray(jax.device_get(jnp.stack(
             [o[-1] for o in wouts])))
