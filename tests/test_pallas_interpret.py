@@ -305,6 +305,15 @@ expect2 = G.mul_raw(sum(s * a for s, a in zip(scal, dlogs2)) % bls.R)
 assert res2.normalize() == expect2.normalize(), "fast-path distinct mismatch"
 assert not records, f"unexpected rerun on distinct bases: {records}"
 print("fast path distinct bases OK")
+
+# grid path (explicit pad disables bands): duplicate bases again -> the
+# planned grid programs must flag and rerun too
+records.clear()
+res3 = msm_v2.msm_device_scheduled(bls.G1, packed, scal, c=c, nbits=16,
+                                   pad=8)
+assert res3.normalize() == expect.normalize(), "grid fast-path mismatch"
+assert any("rerunning" in m for m in records), "grid path flag missed"
+print("grid fast path collision rerun OK")
 """
 
 
@@ -317,5 +326,5 @@ def test_fast_path_collision_rerun_interpret_mode():
                          capture_output=True, text=True, timeout=1800,
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
-    assert "fast path distinct bases OK" in out.stdout, \
+    assert "grid fast path collision rerun OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
