@@ -115,12 +115,17 @@ def main() -> None:
     # remote-TPU link, not chip throughput — on a real host PCIe ships
     # 32 MB in ~3 ms, and SNARK provers' scalars are device-resident
     # already.  Digit extraction itself stays inside the timed region.
+    # TWO scalar sets: the axon relay memoizes identical (executable, args)
+    # executions, so the timed run must not repeat the warmup's inputs
+    half = n // 2
+    scalars2 = scalars[half:] + scalars[:half]
     sbytes = jax.device_put(jnp.asarray(scalars_to_bytes(scalars, 32)))
-    jax.block_until_ready(sbytes)
+    sbytes2 = jax.device_put(jnp.asarray(scalars_to_bytes(scalars2, 32)))
+    jax.block_until_ready(sbytes2)
     msm_device_scheduled(bls.G1, points, sbytes)
 
     t0 = time.time()
-    result = msm_device_scheduled(bls.G1, points, sbytes)
+    result = msm_device_scheduled(bls.G1, points, sbytes2)
     dt = time.time() - t0
     del result
 

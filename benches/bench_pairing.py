@@ -35,15 +35,20 @@ def main():
     # batched Miller + final exp: NPAIR pairings in one program
     pairs = [(bls.G1.rand(rng).normalize(), bls.G2.rand(rng).normalize())
              for _ in range(NPAIR)]
+    pairs2 = [(bls.G1.rand(rng).normalize(), bls.G2.rand(rng).normalize())
+              for _ in range(NPAIR)]
     px, py, qx, qy, act = jp.pack_pairs(pairs)
+    px2, py2, qx2, qy2, act2 = jp.pack_pairs(pairs2)
     t0 = time.time()
     f = jp.miller_loop_batch(px, py, qx, qy, act)
     out = jp.final_exponentiation(jp.product(f))
     jax.block_until_ready(out)
     print(f"pairing batch cold (incl compile): {time.time()-t0:.1f}s",
           flush=True)
+    # timed run on a DIFFERENT pair set (the relay memoizes identical
+    # executions)
     t0 = time.time()
-    f = jp.miller_loop_batch(px, py, qx, qy, act)
+    f = jp.miller_loop_batch(px2, py2, qx2, qy2, act2)
     out = jp.final_exponentiation(jp.product(f))
     _ = jp.j12.unpack(out)       # force full sync through the host readback
     dt = time.time() - t0
