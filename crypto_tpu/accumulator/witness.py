@@ -78,7 +78,16 @@ def update_non_membership_after_removal(wit: NonMembershipWitness,
 
 def _batch_update_with_sk(additions, removals, elements, old_Cs,
                           old_accumulator: Point, sk: AccumSecretKey):
-    """Returns (d_factors, new_Cs) — shared for membership/non-membership."""
+    """Returns (d_factors, new_Cs) — shared for membership/non-membership.
+
+    Above `device_update.DEVICE_THRESHOLD` members the polynomial
+    evaluations and the per-member scalar muls run batched on device
+    (`device_update.py`); the host path below mirrors the reference
+    (`vb_accumulator/src/batch_utils.rs`)."""
+    from . import device_update
+    if elements and device_update.enabled(len(elements)):
+        return device_update.batch_update_with_sk_device(
+            additions, removals, elements, old_Cs, old_accumulator, sk)
     table = WindowTable(max(len(elements), 1), old_accumulator)
     d_factors, new_Cs = [], []
     if additions and not removals:
