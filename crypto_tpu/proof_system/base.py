@@ -52,6 +52,16 @@ class Statement(ABC):
     def response_for_witness(self, proof, wit_idx: int) -> Fp:
         """Schnorr response for witness `wit_idx` (for equality checks)."""
 
+    def derived(self, kind: str, obj, derive):
+        """Route a params derivation through the spec's
+        `DerivedParamsTracker` when attached (reference
+        `derived_params.rs:50-108`): statements sharing `obj` get one
+        derivation.  Standalone statements just derive directly."""
+        tracker = getattr(self, "_derived_tracker", None)
+        if tracker is None:
+            return derive(obj)
+        return tracker.get(kind, obj, derive)
+
 
 @dataclass(frozen=True)
 class SetupParamsRef:
@@ -138,9 +148,29 @@ class ProofSpec:
         self.setup_params.append(params)
         return SetupParamsRef(len(self.setup_params) - 1)
 
+    def derive_prepared_parameters(self):
+        """The spec's shared `DerivedParamsTracker` (created on first use,
+        reused across prove/verify calls on this spec — reference
+        `proof_spec.rs:228` derive_commitment_keys/derive_prepared_parameters
+        collapsed into one identity-keyed tracker)."""
+        from .derived_params import DerivedParamsTracker
+        tracker = getattr(self, "_derived", None)
+        if tracker is None:
+            tracker = DerivedParamsTracker()
+            object.__setattr__(self, "_derived", tracker)
+        return tracker
+
     def resolved_statements(self) -> list:
-        return [resolve_setup_params(s, self.setup_params)
-                for s in self.statements]
+        tracker = self.derive_prepared_parameters()
+        out = []
+        for s in self.statements:
+            r = resolve_setup_params(s, self.setup_params)
+            if r is s:
+                import copy as _copy
+                r = _copy.copy(s)   # never mutate the caller's statement
+            object.__setattr__(r, "_derived_tracker", tracker)
+            out.append(r)
+        return out
 
     def add_witness_equality(self, refs) -> None:
         self.meta_statements.add_witness_equality(refs)

@@ -259,7 +259,8 @@ class R1CSCircomStatement(Statement):
         if isinstance(proof, R1CSCircomProofAggr):
             raise ProofSystemError(
                 "aggregated R1CS proof in non-aggregating spec")
-        pvk = snark.PreparedVerifyingKey.from_vk(self.snark_pk.vk)
+        pvk = self.derived("r1cs_pvk", self.snark_pk.vk,
+                           snark.PreparedVerifyingKey.from_vk)
         if pairing_checker is not None:
             snark.verify_proof_with_checker(pvk, proof.snark_proof,
                                             self.public_inputs,

@@ -105,7 +105,7 @@ class BoundCheckLegoGroth16(Statement):
             raise ProofSystemError(
                 "aggregated bound-check proof in non-aggregating spec")
         vk = self.snark_pk.vk
-        pvk = snark.PreparedVerifyingKey.from_vk(vk)
+        pvk = self.derived("lego_pvk", vk, snark.PreparedVerifyingKey.from_vk)
         if pairing_checker is not None:
             snark.verify_proof_with_checker(
                 pvk, proof.snark_proof, [F(self.min_val), F(self.max_val)],
@@ -247,7 +247,8 @@ class SaverStatement(Statement):
         if not saver_core.verify_ciphertext_commitment(
                 ct, self.ek, self.enc_gens):
             raise ProofSystemError("SAVER ciphertext commitment failed")
-        pvk = snark.PreparedVerifyingKey.from_vk(self.snark_pk.pk.vk)
+        pvk = self.derived("saver_pvk", self.snark_pk.pk.vk,
+                           snark.PreparedVerifyingKey.from_vk)
         if not saver_core.verify_ciphertext_proof(ct, proof.snark_proof, pvk):
             raise ProofSystemError("SAVER SNARK failed")
         self._verify_schnorr(proof, challenge)

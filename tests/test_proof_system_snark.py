@@ -256,3 +256,35 @@ def test_bound_check_with_randomized_pairing_checker(cred, bound_srs):
     with pytest.raises(ProofSystemError):
         proof.verify(RNG, spec, nonce=b"bad",
                      config=VerifierConfig(True))
+
+
+def test_derived_params_tracker_dedupes_prepared_vk(cred, bound_srs):
+    """Reference `derived_params.rs:50-108` / `proof_spec.rs:228`: N
+    statements sharing the same SNARK params derive the prepared verifying
+    key (a pairing) ONCE per spec, and the deduped proof still verifies."""
+    sig_params, issuer, messages, sig = cred
+    spec = ProofSpec()
+    s0 = spec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key, revealed_messages={}))
+    s1 = spec.add_statement(BoundCheckLegoGroth16(
+        min_val=18, max_val=100, snark_pk=bound_srs))
+    s2 = spec.add_statement(BoundCheckLegoGroth16(
+        min_val=0, max_val=60, snark_pk=bound_srs))
+    spec.add_witness_equality([(s0, 0), (s1, 0), (s2, 0)])
+    wits = [BBSWitness(signature=sig, messages=messages), messages[0],
+            messages[0]]
+    proof = Proof.new(RNG, spec, wits, nonce=b"ddp")
+
+    # verify on a FRESH equivalent spec so the tracker starts empty
+    vspec = ProofSpec()
+    v0 = vspec.add_statement(PoKBBSSignatureG1(
+        params=sig_params, public_key=issuer.public_key, revealed_messages={}))
+    v1 = vspec.add_statement(BoundCheckLegoGroth16(
+        min_val=18, max_val=100, snark_pk=bound_srs))
+    v2 = vspec.add_statement(BoundCheckLegoGroth16(
+        min_val=0, max_val=60, snark_pk=bound_srs))
+    vspec.add_witness_equality([(v0, 0), (v1, 0), (v2, 0)])
+    assert proof.verify(RNG, vspec, nonce=b"ddp")
+    tracker = vspec.derive_prepared_parameters()
+    # both bound-check statements share bound_srs.vk -> exactly one pairing
+    assert tracker.derivations == 1
