@@ -22,6 +22,16 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+
+
+def _phase(msg: str) -> None:
+    """Self-timing breadcrumbs on stderr: if the driver's budget is ever
+    exceeded again (BENCH_r04 rc=124 was an opaque cold-compile timeout),
+    the captured tail says exactly which phase ate the time."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 
 def _probe_tpu_relay() -> None:
     """Fail fast (exit 3) if the axon TPU relay is unreachable — a hung
@@ -35,6 +45,64 @@ def _probe_tpu_relay() -> None:
     except OSError as e:
         print(f"TPU relay {host_port} unreachable: {e}", file=sys.stderr)
         sys.exit(3)
+
+
+def make_bench_points(bls, jc, n: int, phase=_phase):
+    """n DISTINCT curve points as a THREE-level outer sum A_i + (C_u + D_v)
+    over disjoint scalar families: a_i = 2^40 + i (bits 0..40),
+    c_u = (u+1)*2^41 (bits 41..48), d_v = (v+1)*2^49 (bits 49+).  Every
+    (i,u,v) is recoverable from its bit range, so all n sums are distinct
+    and non-infinity.  Distinctness matters: duplicate bases inside one
+    bucket are the degenerate P+P case the fast formula punts on, and real
+    MSM workloads (CRS bases, commitment keys) are distinct.
+
+    Fixed-shape construction: exactly TWO batched device adds (m1*m2 and n
+    rows) + one normalize.  The previous doubling-loop built ~14
+    distinct-shape add programs, each a multi-minute cold XLA compile
+    through the relay — the bulk of the BENCH_r04 rc=124 timeout.
+
+    Returns (points, dlog_fn) where dlog_fn(i) gives point i's discrete log
+    (for correctness checks in tests)."""
+    import jax
+    import jax.numpy as jnp
+    from crypto_tpu.ops.pallas.curve_kernels import (make_add_fns,
+                                                     make_normalize_fn)
+    k = 64
+    m = n // k
+    m1 = min(128, m)
+    m2 = m // m1
+    assert m1 * m2 * k == n, "n must be a power of two >= 2^12"
+    base = bls.G1.generator()
+    A = jc.pack_points([base.mul_raw((1 << 40) + i).normalize()
+                        for i in range(k)])
+    C = jc.pack_points([base.mul_raw((u + 1) << 41).normalize()
+                        for u in range(m1)])
+    D = jc.pack_points([base.mul_raw((v + 1) << 49).normalize()
+                        for v in range(m2)])
+    phase("host base points done; device outer sums")
+    add_fn, _aadd, _dbl = make_add_fns(jc)
+
+    def outer_sum(P, Q):
+        np_, nq = P.X.shape[0], Q.X.shape[0]
+        Prep = type(P)(jnp.repeat(P.X, nq, axis=0),
+                       jnp.repeat(P.Y, nq, axis=0),
+                       jnp.repeat(P.Z, nq, axis=0))
+        Qrep = type(Q)(jnp.tile(Q.X, (np_, 1)), jnp.tile(Q.Y, (np_, 1)),
+                       jnp.tile(Q.Z, (np_, 1)))
+        S, _f = add_fn(Prep, Qrep)
+        return S
+
+    B = outer_sum(C, D)                      # (m,) Jacobian
+    jac_points = outer_sum(A, B)             # (n,) Jacobian
+    points = make_normalize_fn(jc)(jac_points)
+    jax.block_until_ready(points.X)
+
+    def dlog_fn(i: int) -> int:
+        a, rest = divmod(i, m)
+        u, v = divmod(rest, m2)
+        return ((1 << 40) + a) + ((u + 1) << 41) + ((v + 1) << 49)
+
+    return points, dlog_fn
 
 
 def main() -> None:
@@ -64,43 +132,9 @@ def main() -> None:
     jc = jcurve_for(bls.G1)
     import jax.numpy as jnp
 
-    # Generate n DISTINCT points on device as an outer sum A_i + B_j of two
-    # disjoint-scalar families (a_i = 2^40 + i, b_j = j * 2^41): the fused
-    # Pallas add builds all n in one batched call.  Distinctness matters:
-    # duplicate bases inside one bucket are the degenerate P+P case the fast
-    # formula punts on, and real MSM workloads (CRS bases, commitment keys)
-    # are distinct.
-    k = 64
-    m = n // k
-    base = bls.G1.generator()
-    A_host = [base.mul_raw((1 << 40) + i) for i in range(k)]
-    A = jc.pack_points([p.normalize() for p in A_host])
-    from crypto_tpu.ops.pallas.curve_kernels import make_add_fns
-    add_fn, _aadd, _dbl = make_add_fns(jc)
-    # B_j = j * (2^41) * G by doubling construction: B = {O}; for each bit:
-    # B <- B ∪ (B + step);  step = 2^(41+t) * G
-    B = jc.pack_points([bls.G1.infinity()])
-    step_pt = base.mul_raw(1 << 41)
-    t = 0
-    while B.X.shape[0] < m:
-        sp = jc.pack_points([step_pt.normalize()])
-        ln = B.X.shape[0]
-        stepb = type(B)(jnp.tile(sp.X, (ln, 1)), jnp.tile(sp.Y, (ln, 1)),
-                        jnp.tile(sp.Z, (ln, 1)))
-        shifted, _f = add_fn(B, stepb)
-        B = type(B)(jnp.concatenate([B.X, shifted.X]),
-                    jnp.concatenate([B.Y, shifted.Y]),
-                    jnp.concatenate([B.Z, shifted.Z]))
-        step_pt = step_pt.double()
-        t += 1
-    B = type(B)(B.X[:m], B.Y[:m], B.Z[:m])
-    Arep = type(A)(jnp.repeat(A.X, m, axis=0), jnp.repeat(A.Y, m, axis=0),
-                   jnp.repeat(A.Z, m, axis=0))
-    Brep = type(B)(jnp.tile(B.X, (k, 1)), jnp.tile(B.Y, (k, 1)),
-                   jnp.tile(B.Z, (k, 1)))
-    jac_points, _f = add_fn(Arep, Brep)
-    from crypto_tpu.ops.pallas.curve_kernels import make_normalize_fn
-    points = make_normalize_fn(jc)(jac_points)
+    _phase(f"point-gen start (n=2^{logn})")
+    points, _dlog = make_bench_points(bls, jc, n)
+    _phase("points ready")
     # full-range Fr scalars from 4x63-bit words (the round-1 construction
     # only spanned ~190 bits, skewing window 11 and emptying windows 12-15)
     words = rng.integers(0, 1 << 63, size=(n, 4), dtype=np.int64).astype(object)
@@ -122,7 +156,9 @@ def main() -> None:
     sbytes = jax.device_put(jnp.asarray(scalars_to_bytes(scalars, 32)))
     sbytes2 = jax.device_put(jnp.asarray(scalars_to_bytes(scalars2, 32)))
     jax.block_until_ready(sbytes2)
+    _phase("scalars staged; warmup MSM (compiles window program if cold)")
     msm_device_scheduled(bls.G1, points, sbytes)
+    _phase("warmup done; timed MSM")
 
     t0 = time.time()
     result = msm_device_scheduled(bls.G1, points, sbytes2)

@@ -73,16 +73,46 @@ def main():
           f"(h_query={len(pk.h_query)}, a_query={len(pk.a_query)})",
           flush=True)
 
+    # phase instrumentation: time the QAP witness map (7 NTTs) and the four
+    # MSM groups inside create_proof (`prover.rs:267-385` split)
+    phases = {}
+    real_wm, real_msmq = snark.witness_map, snark._msm_query
+
+    def timed_wm(cs, F=F):
+        t = time.time()
+        out = real_wm(cs, F)
+        phases["witness_map_ntt"] = phases.get("witness_map_ntt", 0.) + \
+            (time.time() - t)
+        return out
+
+    def timed_msmq(pk_, name, scalars, offset=0):
+        t = time.time()
+        out = real_msmq(pk_, name, scalars, offset)
+        phases[f"msm_{name}"] = phases.get(f"msm_{name}", 0.) + \
+            (time.time() - t)
+        return out
+
+    snark.witness_map = timed_wm
+    snark._msm_query = timed_msmq
+
     x = F.rand(RNG)
     t0 = time.time()
     proof, v, committed = snark.create_proof(chain_circuit(nc, x), pk, RNG)
     t_prove_cold = time.time() - t0
     print(f"prove (cold, incl compile): {t_prove_cold:.2f}s", flush=True)
 
+    phases.clear()
     t0 = time.time()
     proof, v, committed = snark.create_proof(chain_circuit(nc, x), pk, RNG)
     t_prove = time.time() - t0
-    print(f"prove (warm): {t_prove:.2f}s", flush=True)
+    snark.witness_map, snark._msm_query = real_wm, real_msmq
+    msm_s = sum(v_ for k_, v_ in phases.items() if k_.startswith("msm_"))
+    ntt_s = phases.get("witness_map_ntt", 0.0)
+    print(f"prove (warm): {t_prove:.2f}s "
+          f"(witness-map/NTT {ntt_s:.2f}s, MSMs {msm_s:.2f}s, "
+          f"other {t_prove - ntt_s - msm_s:.2f}s)", flush=True)
+    for k_ in sorted(phases):
+        print(f"  {k_}: {phases[k_]:.2f}s", flush=True)
 
     # public input = final chain value
     vals = [x]
@@ -105,6 +135,8 @@ def main():
         "unit": "s",
         "setup_s": round(t_setup, 2),
         "verify_s": round(t_verify, 2),
+        "ntt_s": round(ntt_s, 2),
+        "msm_s": round(msm_s, 2),
     }
     print(json.dumps(out))
 

@@ -16,7 +16,10 @@ def setup():
     os.makedirs(_CACHE_DIR, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: through the axon relay even sub-second
+        # compiles cost an RPC round-trip, and the driver's bench run must
+        # find every program warm (BENCH_r04 timed out compiling cold)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
