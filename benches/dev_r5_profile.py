@@ -68,7 +68,8 @@ o2 = msm_v2._plan_windows_sorted(digits + 1, inf, B)
 jax.block_until_ready(o2[0])
 print(f"plan warm: {(time.time()-t0)*1000:.0f} ms", flush=True)
 
-bands, occm = msm_v2._model_bands(n, c, max_h=64)
+top_keys = (bls.R >> ((16 - 1) * c)) + 1 if c == 16 else None
+bands, occm = msm_v2._model_bands(n, c, max_h=64, top_keys=top_keys)
 total_slots = sum(Q * h for (Q, h, r0) in bands)
 print(f"model bands ({len(bands)}): {bands}\n"
       f"total slots: {total_slots} ({total_slots/n:.3f}N)", flush=True)
@@ -83,26 +84,24 @@ timeit("full window (fast, model bands)", prog, digits[0], x, y, inf,
 
 # --- 2. gather-only --------------------------------------------------------
 if not os.environ.get("NO_SPLIT"):
-    def gather_only(dw, xx, yy, infm, order_w, starts_w, counts_w):
+    bgrid_cat, rank_cat = eng.band_grids(bands)
+
+    def gather_only(dw, xx, yy, infm, order_w, starts_w, counts_w,
+                    bgrid, rank):
         y_signed = F.select(dw < 0, F.neg(yy), yy)
         xy = (xx | (y_signed << 15)).reshape(xx.shape[0], -1)
         if xy.shape[1] < 128:
             xy = jnp.concatenate(
                 [xy, jnp.zeros((xy.shape[0], 128 - xy.shape[1]),
                                jnp.int32)], axis=1)
-        acc = jnp.zeros((), jnp.int32)
-        for (Q, h, r0) in bands:
-            bgrid = jnp.tile(jnp.arange(Q, dtype=jnp.int32), h)
-            rank = jnp.repeat(jnp.arange(h, dtype=jnp.int32), Q) + r0
-            pos = starts_w[bgrid] + rank
-            valid = rank < counts_w[bgrid]
-            srcp = jnp.where(valid, order_w[jnp.where(valid, pos, 0)], 0)
-            sxyT = xy[srcp].T[:L]
-            acc = acc + jnp.sum(sxyT[0])
-        return acc
+        pos = starts_w[bgrid] + rank
+        valid = rank < counts_w[bgrid]
+        srcp = jnp.where(valid, order_w[jnp.where(valid, pos, 0)], 0)
+        sxyT = xy[srcp].T[:L]
+        return jnp.sum(sxyT[0])
 
     timeit("gather only", jax.jit(gather_only), digits[0], x, y, inf,
-           order[0], starts_p[0], counts_p[0])
+           order[0], starts_p[0], counts_p[0], bgrid_cat, rank_cat)
 
 # --- 3. mul speed-of-light -------------------------------------------------
 if not os.environ.get("NO_MUL"):

@@ -288,9 +288,12 @@ def _plan_windows_sorted(digits, inf_mask, B):
 def _build_bands(nprof: np.ndarray, occ: int, B: int,
                  max_h: int = 64, min_q: int = 4096) -> tuple:
     """Greedy staircase: cover ranks [0, occ) with (Q, h, r0) bands where
-    Q = next_pow2(#buckets needing rank r0) and h grows (pow2) until the
-    profile drops below Q/2.  Slots ~= integral of the occupancy profile,
-    vs occ*B for the uniform grid.
+    Q = #buckets needing rank r0 rounded up to a multiple of B/16 (>=32),
+    and h grows (pow2) until the profile drops below 3/4 Q.  Slots ~=
+    integral of the occupancy profile, vs occ*B for the uniform grid.
+    (Pow2-rounded Q lost up to 2x slots on shallow-decay profiles — the
+    top window's truncated digit range, see `_model_bands` — the finer
+    step keeps the maxed body+top profile at ~1.25N slots.)
 
     `min_q`: once the profile drops below this width, emit ONE final band
     covering all remaining ranks instead of a tail of ~10 skinny bands.
@@ -300,11 +303,11 @@ def _build_bands(nprof: np.ndarray, occ: int, B: int,
     bands = []
     r = 0
     occ = int(occ)
+    q_step = max(32, B >> 4)
     while r < occ:
         n_r = int(nprof[r]) if r < len(nprof) else 1
         n_r = max(n_r, 1)
-        Q = 1 << (n_r - 1).bit_length()
-        Q = min(Q, B)
+        Q = min(B, -(-n_r // q_step) * q_step)
         if Q < min_q or Q * (occ - r) <= 2 * min_q:
             # final merged band: cover the remaining ranks in one go
             # (pow2 height for the halving chain; extra ranks are dead)
@@ -314,7 +317,7 @@ def _build_bands(nprof: np.ndarray, occ: int, B: int,
         h = 1
         while r + h < occ and h < max_h:
             nxt = int(nprof[min(r + h, len(nprof) - 1)])
-            if nxt <= Q // 2:
+            if min(B, -(-max(nxt, 1) // q_step) * q_step) < Q:
                 break
             h *= 2
         bands.append((Q, h, r))
@@ -322,26 +325,14 @@ def _build_bands(nprof: np.ndarray, occ: int, B: int,
     return tuple(bands)
 
 
-@functools.lru_cache(maxsize=None)
-def _model_bands(N: int, c: int, max_h: int = 64) -> tuple:
-    """Deterministic staircase bands for UNIFORM scalars from the Poisson
-    occupancy model (bucket occupancy ~ Poisson(N/B) for signed window
-    digits), with a +4-sigma, pow2-rounded margin on every rank's bucket
-    count: (bands, occ_model).
-
-    One band tuple per (N, c) means ONE compiled window program per size
-    class, instead of a fresh ~10-min XLA compile whenever a new scalar
-    set's exact count profile shifts a band boundary by one rank (the
-    failure mode flagged in round-3 review).  Correctness never rests on
-    the model: `msm_device_scheduled` checks the actual count profile
-    against the bands and falls back to exact per-run bands if any rank is
-    uncovered (adversarial/structured digit distributions)."""
+def _poisson_profile(n_keys: int, lam: float, B: int) -> tuple:
+    """(nprof, occ): expected #buckets with count > r for occupancy ~
+    Poisson(lam) over `n_keys` active buckets, with a +4-sigma + 8 margin,
+    capped at B; occ = first rank where the mean drops below 1e-4."""
     import math
-    B = 1 << (c - 1)
-    lam = N / B
     R = MAX_PROFILE_RANK
     nprof = np.zeros(R, dtype=np.int64)
-    occ_model = R
+    occ = R
     # iterate the Poisson pmf; survival S(r) = P(Occ > r).  For lam >~ 700
     # exp(-lam) underflows to 0 and the model degenerates to nprof == B
     # everywhere — conservatively correct, and unreachable in practice (the
@@ -351,15 +342,47 @@ def _model_bands(N: int, c: int, max_h: int = 64) -> tuple:
     cdf = pmf
     for r in range(R):
         s = max(0.0, 1.0 - cdf)
-        mean = B * s
+        mean = n_keys * s
         n_r = mean + 4.0 * math.sqrt(mean + 1.0) + 8.0
-        nprof[r] = min(B, int(math.ceil(n_r)))
-        if mean < 1e-4 and occ_model == R:
-            occ_model = r + 1
+        nprof[r] = min(B, min(n_keys, int(math.ceil(n_r))))
+        if mean < 1e-4 and occ == R:
+            occ = r + 1
             break
         pmf *= lam / (r + 1)
         cdf += pmf
-    occ_model = min(occ_model, R)
+    return nprof, min(occ, R)
+
+
+@functools.lru_cache(maxsize=None)
+def _model_bands(N: int, c: int, max_h: int = 64,
+                 top_keys: int | None = None) -> tuple:
+    """Deterministic staircase bands for UNIFORM scalars from the Poisson
+    occupancy model (bucket occupancy ~ Poisson(N/B) for signed window
+    digits), with a +4-sigma, pow2-rounded margin on every rank's bucket
+    count: (bands, occ_model).
+
+    `top_keys`: number of distinct digit values in the TOP window (the
+    scalar modulus truncated: e.g. BLS12-381 Fr at c=16 has only 0x73ee ~=
+    0.91*B top-window values, so that window runs hotter — Poisson(N/29678)
+    vs Poisson(N/32768)).  The model profile is the elementwise max of the
+    body-window and top-window profiles so ONE program covers every window
+    (pre-round-5, the top window silently escaped the model and every
+    2^20 MSM compiled a second exact-bands program).
+
+    One band tuple per (N, c, top_keys) means ONE compiled window program
+    per size class, instead of a fresh ~10-min XLA compile whenever a new
+    scalar set's exact count profile shifts a band boundary by one rank
+    (the failure mode flagged in round-3 review).  Correctness never rests
+    on the model: `msm_device_scheduled` checks the actual count profile
+    against the bands and falls back to exact per-run bands if any rank is
+    uncovered (adversarial/structured digit distributions)."""
+    B = 1 << (c - 1)
+    nprof, occ_model = _poisson_profile(B, N / B, B)
+    if top_keys is not None and 0 < top_keys:
+        np_top, occ_top = _poisson_profile(min(top_keys, B),
+                                           N / min(top_keys, B), B)
+        nprof = np.maximum(nprof, np_top)
+        occ_model = max(occ_model, occ_top)
     return _build_bands(nprof, occ_model, B, max_h=max_h), occ_model
 
 
@@ -742,6 +765,122 @@ class DeviceMSM:
 
         return bucket_sums
 
+    def _bucket_sums_tpu_bands_unified(self, c: int, bands: tuple,
+                                       fast: bool = True):
+        """Unified-level variant of `_bucket_sums_tpu_bands`: ONE
+        `pair_add_t` call per halving level across ALL bands (segments
+        concatenated), instead of one call per level per band.
+
+        Every `pair_add_t` carries a batch-inversion whose tree root is a
+        sequential ~380-step Fermat chain (measured ~3-10 ms of pure
+        latency per call regardless of width) — so the staircase's ~14
+        per-band level calls + 4 combines at 2^20/c=16 pay that latency ~17
+        times.  Unifying the levels pays it max(log2 h_i) + #combines ~= 9
+        times and feeds the mul kernels wider slabs (better MXU shapes)."""
+        B = 1 << (c - 1)
+        F = self.F
+        halve_t, pair_add_t, U, ush = self._fused_ctx(fast)
+
+        def bucket_sums_sorted(dw, x, y, inf, order, starts_p, counts_p,
+                               bgrid_cat, rank_cat):
+            y_signed = F.select(dw < 0, F.neg(y), y)
+            xy = (x | (y_signed << 15)).reshape(x.shape[0], -1)
+            if xy.shape[1] < 128:
+                xy = jnp.concatenate(
+                    [xy, jnp.zeros((xy.shape[0], 128 - xy.shape[1]),
+                                   jnp.int32)], axis=1)
+            # ONE gather over all bands: bgrid_cat/rank_cat are runtime
+            # inputs (N_slots,) — as traced constants XLA folds them into
+            # multi-MB literals that bloat the executable (slow relay
+            # loads) and the compile itself
+            pos = starts_p[bgrid_cat] + rank_cat
+            valid = rank_cat < counts_p[bgrid_cat]
+            srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
+            sxyT = xy[srcp].T[:U]
+            ax = sxyT & 0x7FFF
+            ay = sxyT >> 15
+            am = (~valid).astype(jnp.int32)[None, :]
+            segs = []                       # [xT, yT, mT, Q] per band
+            off = 0
+            for (Q, h, r0) in bands:
+                w = Q * h
+                segs.append([ax[:, off:off + w], ay[:, off:off + w],
+                             am[:, off:off + w], Q])
+                off += w
+            flag = jnp.zeros((), jnp.int32)
+            # unified halving: one call per level across all active bands
+            while any(s[0].shape[1] > s[3] for s in segs):
+                active = [s for s in segs if s[0].shape[1] > s[3]]
+                halves = [s[0].shape[1] // 2 for s in active]
+                Lx = jnp.concatenate([s[0][:, :h] for s, h in
+                                      zip(active, halves)], axis=1)
+                Ly = jnp.concatenate([s[1][:, :h] for s, h in
+                                      zip(active, halves)], axis=1)
+                Lm = jnp.concatenate([s[2][:, :h] for s, h in
+                                      zip(active, halves)], axis=1)
+                Rx = jnp.concatenate([s[0][:, h:] for s, h in
+                                      zip(active, halves)], axis=1)
+                Ry = jnp.concatenate([s[1][:, h:] for s, h in
+                                      zip(active, halves)], axis=1)
+                Rm = jnp.concatenate([s[2][:, h:] for s, h in
+                                      zip(active, halves)], axis=1)
+                cx, cy, cm, zf = pair_add_t(Lx, Ly, Lm, Rx, Ry, Rm)
+                flag = jnp.maximum(flag, zf)
+                off = 0
+                for s, h in zip(active, halves):
+                    s[0] = cx[:, off:off + h]
+                    s[1] = cy[:, off:off + h]
+                    s[2] = cm[:, off:off + h]
+                    off += h
+            # padded TREE combine: bands are prefix-nested (Q descending),
+            # so pairing adjacent finals (shorter padded with dead lanes)
+            # needs ceil(log2 nbands) pair_add_t calls instead of nbands-1
+            # sequential prefix combines — each call is a ~380-step Fermat
+            # latency, so call count matters more than the pad waste
+            def pad_dead(x, y, m, w):
+                p = w - x.shape[1]
+                if p == 0:
+                    return x, y, m
+                zL = jnp.zeros((U, p), jnp.int32)
+                return (jnp.concatenate([x, zL], axis=1),
+                        jnp.concatenate([y, zL], axis=1),
+                        jnp.concatenate([m, jnp.ones((1, p), jnp.int32)],
+                                        axis=1))
+
+            finals = [(s[0], s[1], s[2], s[3]) for s in segs]
+            while len(finals) > 1:
+                Ls, Rs, widths = [], [], []
+                for i in range(0, len(finals) - 1, 2):
+                    ax, ay, am, aQ = finals[i]
+                    bx, by, bm, _bQ = finals[i + 1]
+                    Ls.append((ax, ay, am))
+                    Rs.append(pad_dead(bx, by, bm, aQ))
+                    widths.append(aQ)
+                leftover = finals[-1] if len(finals) % 2 else None
+                cx, cy, cm, zf = pair_add_t(
+                    jnp.concatenate([t[0] for t in Ls], axis=1),
+                    jnp.concatenate([t[1] for t in Ls], axis=1),
+                    jnp.concatenate([t[2] for t in Ls], axis=1),
+                    jnp.concatenate([t[0] for t in Rs], axis=1),
+                    jnp.concatenate([t[1] for t in Rs], axis=1),
+                    jnp.concatenate([t[2] for t in Rs], axis=1))
+                flag = jnp.maximum(flag, zf)
+                nxt, off = [], 0
+                for w in widths:
+                    nxt.append((cx[:, off:off + w], cy[:, off:off + w],
+                                cm[:, off:off + w], w))
+                    off += w
+                if leftover is not None:
+                    nxt.append(leftover)
+                finals = nxt
+            accx, accy, accm, _Q0 = finals[0]
+            accx, accy, accm = pad_dead(accx, accy, accm, B)
+            outx = accx.T.reshape((B,) + ush)
+            outy = accy.T.reshape((B,) + ush)
+            return AffinePoints(outx, outy, accm[0] > 0), flag
+
+        return bucket_sums_sorted
+
     def _bucket_sums_tpu_bands(self, c: int, bands: tuple,
                                fast: bool = True):
         """Staircase-band bucket reduction (TPU): buckets are processed in
@@ -760,7 +899,8 @@ class DeviceMSM:
         F = self.F
         halve_t, pair_add_t, U, ush = self._fused_ctx(fast)
 
-        def bucket_sums_sorted(dw, x, y, inf, order, starts_p, counts_p):
+        def bucket_sums_sorted(dw, x, y, inf, order, starts_p, counts_p,
+                               bgrid_cat, rank_cat):
             y_signed = F.select(dw < 0, F.neg(y), y)
             xy = (x | (y_signed << 15)).reshape(x.shape[0], -1)
             # pad payload rows to one full 128-lane tile: XLA's row gather
@@ -772,9 +912,12 @@ class DeviceMSM:
                                    jnp.int32)], axis=1)
             accx = accy = accm = None      # (U, B) running, sorted order
             flag = jnp.zeros((), jnp.int32)
+            offg = 0
             for (Q, h, r0) in bands:
-                bgrid = jnp.tile(jnp.arange(Q, dtype=jnp.int32), h)
-                rank = jnp.repeat(jnp.arange(h, dtype=jnp.int32), Q) + r0
+                wband = Q * h
+                bgrid = bgrid_cat[offg:offg + wband]
+                rank = rank_cat[offg:offg + wband]
+                offg += wband
                 pos = starts_p[bgrid] + rank
                 valid = rank < counts_p[bgrid]
                 srcp = jnp.where(valid, order[jnp.where(valid, pos, 0)], 0)
@@ -813,23 +956,50 @@ class DeviceMSM:
         Returns (x, y, inf, zflag); zflag != 0 means the fast distinct-
         points kernels hit a colliding pair and the window must be rerun
         with fast=False (see `_fused_ctx`)."""
-        key = ("wpb", N, c, bands, fast)
+        unified = os.environ.get("CRYPTO_TPU_UNIFIED_LEVELS", "1") \
+            not in ("", "0")
+        key = ("wpb", N, c, bands, fast, unified)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self._bucket_sums_tpu_bands(c, bands, fast=fast)
+        mk = self._bucket_sums_tpu_bands_unified if unified \
+            else self._bucket_sums_tpu_bands
+        bucket_sums = mk(c, bands, fast=fast)
         tail = self.tail_fn(c)
+        grids = self.band_grids(bands)
 
-        def full(dw, x, y, inf, order, starts_p, counts_p, invperm):
-            P, flag = bucket_sums(dw, x, y, inf, order, starts_p, counts_p)
+        def full(dw, x, y, inf, order, starts_p, counts_p, invperm,
+                 bgrid_cat, rank_cat):
+            P, flag = bucket_sums(dw, x, y, inf, order, starts_p, counts_p,
+                                  bgrid_cat, rank_cat)
             px = P.x[invperm]              # back to natural bucket order
             py = P.y[invperm]
             pinf = P.inf[invperm]
             ox, oy, oinf = tail(px, py, pinf)
             return ox, oy, oinf, flag
 
-        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        jfull = full if jax.default_backend() == "cpu" else jax.jit(full)
+
+        def prog(dw, x, y, inf, order, starts_p, counts_p, invperm):
+            return jfull(dw, x, y, inf, order, starts_p, counts_p, invperm,
+                         *grids)
+
         self._jits[key] = prog
         return prog
+
+    def band_grids(self, bands: tuple):
+        """Concatenated (bucket, rank) index grids for a band tuple, as
+        device arrays (cached): runtime inputs to the window programs so
+        XLA does not fold them into multi-MB executable literals."""
+        key = ("grids", bands)
+        if key in self._jits:
+            return self._jits[key]
+        bg = np.concatenate([np.tile(np.arange(Q, dtype=np.int32), h)
+                             for (Q, h, r0) in bands])
+        rk = np.concatenate([np.repeat(np.arange(h, dtype=np.int32), Q) + r0
+                             for (Q, h, r0) in bands])
+        out = (jnp.asarray(bg), jnp.asarray(rk))
+        self._jits[key] = out
+        return out
 
     def window_program_bands_group(self, N: int, c: int, bands: tuple,
                                    G: int, fast: bool = True):
@@ -837,18 +1007,25 @@ class DeviceMSM:
         window's latency-bound gather with another's compute-bound levels,
         and the host dispatches W/G programs instead of W.  Returns
         (x (G,unit), y (G,unit), inf (G,), zflag ())."""
-        key = ("wpbg", N, c, bands, G, fast)
+        unified = os.environ.get("CRYPTO_TPU_UNIFIED_LEVELS", "1") \
+            not in ("", "0")
+        key = ("wpbg", N, c, bands, G, fast, unified)
         if key in self._jits:
             return self._jits[key]
-        bucket_sums = self._bucket_sums_tpu_bands(c, bands, fast=fast)
+        mk = self._bucket_sums_tpu_bands_unified if unified \
+            else self._bucket_sums_tpu_bands
+        bucket_sums = mk(c, bands, fast=fast)
         tail = self.tail_fn(c)
+        grids = self.band_grids(bands)
 
-        def full(dws, x, y, inf, orders, starts_ps, counts_ps, invperms):
+        def full(dws, x, y, inf, orders, starts_ps, counts_ps, invperms,
+                 bgrid_cat, rank_cat):
             oxs, oys, oinfs = [], [], []
             flag = jnp.zeros((), jnp.int32)
             for g in range(G):
                 P, fl = bucket_sums(dws[g], x, y, inf, orders[g],
-                                    starts_ps[g], counts_ps[g])
+                                    starts_ps[g], counts_ps[g],
+                                    bgrid_cat, rank_cat)
                 flag = jnp.maximum(flag, fl)
                 ox, oy, oinf = tail(P.x[invperms[g]], P.y[invperms[g]],
                                     P.inf[invperms[g]])
@@ -857,7 +1034,12 @@ class DeviceMSM:
                 oinfs.append(oinf)
             return (jnp.stack(oxs), jnp.stack(oys), jnp.stack(oinfs), flag)
 
-        prog = full if jax.default_backend() == "cpu" else jax.jit(full)
+        jfull = full if jax.default_backend() == "cpu" else jax.jit(full)
+
+        def prog(dws, x, y, inf, orders, starts_ps, counts_ps, invperms):
+            return jfull(dws, x, y, inf, orders, starts_ps, counts_ps,
+                         invperms, *grids)
+
         self._jits[key] = prog
         return prog
 
@@ -1184,15 +1366,22 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
             # (structured/adversarial digits)
             occ_a = int(occs.max())
             nprof_a = nprof.max(axis=0)
-            shared_bands, occ_model = _model_bands(N, c, max_h=PAD_MAX)
+            # the TOP window's digits only span the modulus' leading bits
+            # (e.g. 0x73ee values for BLS12-381 Fr at c=16), so that window
+            # runs hotter than Poisson(N/B); fold it into the model
+            smax = min(1 << nbits, curve.scalar_field.p)
+            top_keys = (smax >> ((W - 1) * c)) + 1
+            shared_bands, occ_model = _model_bands(N, c, max_h=PAD_MAX,
+                                                   top_keys=top_keys)
             if not (occ_a <= occ_model
                     and _bands_cover(shared_bands, nprof_a, occ_a)):
                 shared_bands = _build_bands(nprof_a, occ_a, B, max_h=PAD_MAX)
                 import logging
-                logging.getLogger("crypto_tpu.msm").info(
+                logging.getLogger("crypto_tpu.msm").warning(
                     "msm_v2: count profile outside the Poisson model, "
-                    "using exact bands (fresh XLA compile likely): N=%d "
-                    "c=%d occ=%d", N, c, occ_a)
+                    "using exact bands (fresh multi-minute XLA compile "
+                    "likely): N=%d c=%d occ=%d (model %d)", N, c, occ_a,
+                    occ_model)
     if not use_bands:
         order, starts, counts, occs_d = _plan_windows(digits, inf_mask, B)
         if pad is None:

@@ -16,6 +16,7 @@ from crypto_tpu.curves import bls12_381 as b  # noqa: E402
 from crypto_tpu.curves.jcurve import jcurve_for  # noqa: E402
 
 
+@pytest.mark.slow
 def test_bench_points_match_dlogs(monkeypatch):
     n = 1 << 12
     jc = jcurve_for(b.G1)

@@ -29,12 +29,16 @@ def test_msm_sharded_v2_vs_host():
     assert got.normalize() == exp.normalize()
 
 
+@pytest.mark.slow
 def test_msm_sharded_v2_in_program_collective_1dev():
     """The TPU-default in-program path (all_gather + replicated log-depth
     combine + fused tail INSIDE the shard_map program) executes on a
     1-device mesh even on XLA:CPU: a 1-device all_gather needs no
     cross-device rendezvous, so this covers the exact code real chips run
-    (round-4 Weak #4: that path previously had zero in-tree coverage)."""
+    (round-4 Weak #4: that path previously had zero in-tree coverage).
+    Slow lane: the XLA:CPU compile of the jitted collective step is
+    minutes; the same path also runs on the real chip in
+    benches/dev_r5_tpu_session.py with recorded output."""
     n = 32
     pts = [b.G1.rand(rng).normalize() for _ in range(n)]
     scs = [rng.randrange(0, 1 << 16) for _ in range(n)]
