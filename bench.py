@@ -132,7 +132,11 @@ def main() -> None:
     from crypto_tpu.ops.msm_v2 import msm_device_scheduled
     from crypto_tpu.ops.pippenger import scalars_to_bytes
 
-    rng = np.random.default_rng(0)
+    # scalars get a per-process seed: with the npz point cache, a FIXED
+    # seed would make the timed run's (executable, args) identical across
+    # bench processes — exactly the pair the axon relay memoizes, which
+    # would time a replay instead of the chip
+    rng = np.random.default_rng(time.time_ns() & 0xFFFFFFFF)
     jc = jcurve_for(bls.G1)
     import jax.numpy as jnp
 

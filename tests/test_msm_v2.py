@@ -140,3 +140,40 @@ def test_msm_cost_model():
         <= per_window_adds <= m["slots"]
     assert m["field_muls"] == 16 * (per_window_adds * 6 + 2 * (1 << 15))
     assert m["gather_bytes"] == m["gather_rows"] * 512
+
+
+def test_model_bands_cover_full_range_scalars():
+    """The canonical model bands must cover the ACTUAL digit profile of
+    uniform full-range Fr scalars — including the top window, whose digits
+    only span the modulus' leading bits (round-5 fix: that window ran
+    hotter than the body model, Poisson(N/29678) vs Poisson(N/32768) at
+    c=16, and silently pushed every 2^20 MSM onto a second exact-bands
+    compile)."""
+    import numpy as np
+    from crypto_tpu.ops.msm_v2 import (_model_bands, _bands_cover,
+                                       MAX_PROFILE_RANK)
+    n, c, W = 1 << 15, 16, 16
+    B = 1 << (c - 1)
+    R = b.Fr.p
+    top_keys = (R >> ((W - 1) * c)) + 1
+    bands, occm = _model_bands(n, c, max_h=64, top_keys=top_keys)
+    rng2 = random.Random(77)
+    occ_a = 0
+    nprof = np.zeros(MAX_PROFILE_RANK, dtype=np.int64)
+    digs = np.zeros((W, n), dtype=np.int64)
+    for i in range(n):
+        s = rng2.randrange(0, R)
+        carry = 0
+        for w in range(W):
+            d = ((s >> (w * c)) & (2 * B - 1)) + carry
+            carry = 1 if d >= B else 0
+            digs[w, i] = d - 2 * B if carry else d
+    for w in range(W):
+        absd = np.abs(digs[w])
+        cnt = np.bincount(np.where(absd > 0, absd - 1, B),
+                          minlength=B + 1)[:B]
+        occ_a = max(occ_a, int(cnt.max()))
+        for r in range(min(int(cnt.max()), MAX_PROFILE_RANK)):
+            nprof[r] = max(nprof[r], int((cnt > r).sum()))
+    assert occ_a <= occm, f"actual occupancy {occ_a} > model {occm}"
+    assert _bands_cover(bands, nprof, occ_a), "model bands do not cover"
