@@ -1352,36 +1352,59 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
                     and F.unit_ndim in (1, 2))
     use_bands = (on_tpu_fused and pad is None
                  and not os.environ.get("CRYPTO_TPU_NO_BANDS"))
+    # doubling-free fast kernels by default on the fused G1 path; a
+    # colliding pair (duplicate base in a bucket, or a negligible-probability
+    # partial-sum collision) raises the window's zflag and that window is
+    # rerun below with the total-formula kernels
+    fast = (on_tpu_fused and F.unit_ndim == 1
+            and not os.environ.get("CRYPTO_TPU_SAFE_AFFINE"))
+    wgroup = int(os.environ.get("CRYPTO_TPU_WGROUP", "1"))
+    wouts = None
     if use_bands:
         (order, starts_p, counts_p, invperm, nprof_d,
          occs_d) = _plan_windows_sorted(digits, inf_mask, B)
+        # canonical model bands: ONE band tuple (= one compiled window
+        # program) per (N, c) for any uniform scalar set; exact per-run
+        # bands only when the actual profile escapes the model
+        # (structured/adversarial digits).
+        # the TOP window's digits only span the modulus' leading bits
+        # (e.g. 0x73ee values for BLS12-381 Fr at c=16), so that window
+        # runs hotter than Poisson(N/B); fold it into the model
+        smax = min(1 << nbits, curve.scalar_field.p)
+        top_keys = (smax >> ((W - 1) * c)) + 1
+        shared_bands, occ_model = _model_bands(N, c, max_h=PAD_MAX,
+                                               top_keys=top_keys)
+        if wgroup <= 1 or W % wgroup:
+            # OPTIMISTIC DISPATCH: enqueue all W window programs under the
+            # model bands BEFORE pulling the count profile, so the ~2 MB
+            # profile pull + host coverage check overlap the async window
+            # executions instead of serializing ahead of them (the pull is
+            # a full round trip through the ~50 MB/s relay tunnel).  If the
+            # profile escapes the model (structured/adversarial digits) the
+            # dispatched results are discarded below and recomputed; an
+            # uncovered layout cannot fault — slot indices clamp inside the
+            # band buffers (XLA gather/dynamic_slice clamp, scatter drops).
+            prog = engine.window_program_bands(N, c, shared_bands, fast=fast)
+            wouts = [prog(digits[w], points.X, points.Y, inf_mask, order[w],
+                          starts_p[w], counts_p[w], invperm[w])
+                     for w in range(W)]
         nprof, occs = (np.asarray(jax.device_get(nprof_d)),
                        np.maximum(np.asarray(jax.device_get(occs_d)), 1))
-        if int(occs.max()) > MAX_PROFILE_RANK:
+        occ_a = int(occs.max())
+        nprof_a = nprof.max(axis=0)
+        if occ_a > MAX_PROFILE_RANK:
             use_bands = False      # adversarially skewed digits: grid path
-        else:
-            # canonical model bands: ONE band tuple (= one compiled window
-            # program) per (N, c) for any uniform scalar set; exact per-run
-            # bands only when the actual profile escapes the model
-            # (structured/adversarial digits)
-            occ_a = int(occs.max())
-            nprof_a = nprof.max(axis=0)
-            # the TOP window's digits only span the modulus' leading bits
-            # (e.g. 0x73ee values for BLS12-381 Fr at c=16), so that window
-            # runs hotter than Poisson(N/B); fold it into the model
-            smax = min(1 << nbits, curve.scalar_field.p)
-            top_keys = (smax >> ((W - 1) * c)) + 1
-            shared_bands, occ_model = _model_bands(N, c, max_h=PAD_MAX,
-                                                   top_keys=top_keys)
-            if not (occ_a <= occ_model
-                    and _bands_cover(shared_bands, nprof_a, occ_a)):
-                shared_bands = _build_bands(nprof_a, occ_a, B, max_h=PAD_MAX)
-                import logging
-                logging.getLogger("crypto_tpu.msm").warning(
-                    "msm_v2: count profile outside the Poisson model, "
-                    "using exact bands (fresh multi-minute XLA compile "
-                    "likely): N=%d c=%d occ=%d (model %d)", N, c, occ_a,
-                    occ_model)
+            wouts = None
+        elif not (occ_a <= occ_model
+                  and _bands_cover(shared_bands, nprof_a, occ_a)):
+            wouts = None           # optimistic results used uncovered bands
+            shared_bands = _build_bands(nprof_a, occ_a, B, max_h=PAD_MAX)
+            import logging
+            logging.getLogger("crypto_tpu.msm").warning(
+                "msm_v2: count profile outside the Poisson model, "
+                "using exact bands (fresh multi-minute XLA compile "
+                "likely): N=%d c=%d occ=%d (model %d)", N, c, occ_a,
+                occ_model)
     if not use_bands:
         order, starts, counts, occs_d = _plan_windows(digits, inf_mask, B)
         if pad is None:
@@ -1393,12 +1416,6 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
     # feed (unit,)-shaped window points into the (W, B, unit) batched tail
     batched_tail = (bool(os.environ.get("CRYPTO_TPU_BATCHED_TAIL"))
                     and not use_bands)
-    # doubling-free fast kernels by default on the fused G1 path; a
-    # colliding pair (duplicate base in a bucket, or a negligible-probability
-    # partial-sum collision) raises the window's zflag and that window is
-    # rerun below with the total-formula kernels
-    fast = (on_tpu_fused and F.unit_ndim == 1
-            and not os.environ.get("CRYPTO_TPU_SAFE_AFFINE"))
 
     def run_window(w, fast_w):
         occ = int(occs[w])
@@ -1429,7 +1446,6 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
         emit("msm_v2", msm_cost_model(N, c, shared_bands, W, F.L
                                       if F.unit_ndim == 1 else F.base.L,
                                       fast=True))
-    wgroup = int(os.environ.get("CRYPTO_TPU_WGROUP", "1"))
     if use_bands and wgroup > 1 and W % wgroup == 0:
         gprog = engine.window_program_bands_group(N, c, shared_bands,
                                                   wgroup, fast=fast)
@@ -1441,33 +1457,48 @@ def msm_device_scheduled(curve: SWCurve, points, scalars,
                                    invperm[sl])
             for j in range(wgroup):
                 wouts.append((gx[j], gy[j], gi[j], gf))
-    else:
+    elif wouts is None:
         wouts = [run_window(w, fast) for w in range(W)]
-    if fast:
-        flags = np.asarray(jax.device_get(jnp.stack(
-            [o[-1] for o in wouts])))
-        for w in np.nonzero(flags)[0]:
-            import logging
-            logging.getLogger("crypto_tpu.msm").warning(
-                "msm_v2: colliding pair in window %d (duplicate bases?), "
-                "rerunning with total-formula kernels", int(w))
-            wouts[int(w)] = run_window(int(w), False)
+    def _pull(wouts):
+        """ONE device->host round trip for flags + window results (each
+        device_get is a full sync through the relay tunnel; unpack_host
+        accepts host arrays — its device_get is then a no-op)."""
+        xs = jnp.stack([o[0] for o in wouts])
+        ys = jnp.stack([o[1] for o in wouts])
+        infs = jnp.stack([o[2] for o in wouts])
+        fl = jnp.stack([o[-1] for o in wouts]) if fast else infs
+        return [np.asarray(a) for a in jax.device_get((xs, ys, infs, fl))]
 
     if batched_tail:
         # one (W,)-wide tail program (see window_program_planned docstring:
         # slower than the fused-in-window tail on v5e today, kept for study)
+        if fast:
+            flags = np.asarray(jax.device_get(jnp.stack(
+                [o[-1] for o in wouts])))
+            for w in np.nonzero(flags)[0]:
+                import logging
+                logging.getLogger("crypto_tpu.msm").warning(
+                    "msm_v2: colliding pair in window %d (duplicate "
+                    "bases?), rerunning with total-formula kernels", int(w))
+                wouts[int(w)] = run_window(int(w), False)
         bx = jnp.stack([o[0] for o in wouts])
         by = jnp.stack([o[1] for o in wouts])
         binf = jnp.stack([o[2] for o in wouts])
         tailb = engine.tail_batched_program(W, c)
-        xs, ys, infs = tailb(bx, by, binf)
+        hxs, hys, hinf = jax.device_get(tailb(bx, by, binf))
     else:
-        xs = jnp.stack([o[0] for o in wouts])
-        ys = jnp.stack([o[1] for o in wouts])
-        infs = jnp.stack([o[2] for o in wouts])
-    hx = np.atleast_1d(F.unpack_host(xs))
-    hy = np.atleast_1d(F.unpack_host(ys))
-    hinf = np.asarray(jax.device_get(infs))
+        hxs, hys, hinf, flags = _pull(wouts)
+        if fast and flags.any():
+            for w in np.nonzero(flags)[0]:
+                import logging
+                logging.getLogger("crypto_tpu.msm").warning(
+                    "msm_v2: colliding pair in window %d (duplicate "
+                    "bases?), rerunning with total-formula kernels", int(w))
+                wouts[int(w)] = run_window(int(w), False)
+            hxs, hys, hinf, _ = _pull(wouts)
+    hx = np.atleast_1d(F.unpack_host(hxs))
+    hy = np.atleast_1d(F.unpack_host(hys))
+    hinf = np.asarray(hinf)
     K = curve.K
     acc = curve.infinity()
     for w in range(W - 1, -1, -1):

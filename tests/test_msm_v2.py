@@ -73,11 +73,12 @@ def test_msm_v2_vs_host(n):
     # each eager-dispatch MSM costs ~1-3 min of wall clock)
     pts = [b.G1.rand(rng).normalize() for _ in range(n)]
     pts[3] = b.G1.infinity()
-    # 64-bit scalars keep the eager CPU run fast (8 windows, not 32);
+    # 32-bit scalars keep the eager CPU run fast (4 windows, not 32);
     # full-width digit extraction is covered by test_device_digits below
-    scs = [rng.randrange(0, 1 << 64) for _ in range(n)]
+    # and full-width windows by test_engine_cross_check_v1_v2
+    scs = [rng.randrange(0, 1 << 32) for _ in range(n)]
     scs[5] = 0
-    got = msm_v2.msm_device_scheduled(b.G1, pts, scs, c=8, nbits=64)
+    got = msm_v2.msm_device_scheduled(b.G1, pts, scs, c=8, nbits=32)
     exp = b.G1.infinity()
     for p, s in zip(pts, scs):
         exp = exp + p * s

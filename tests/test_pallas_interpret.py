@@ -314,6 +314,20 @@ res3 = msm_v2.msm_device_scheduled(bls.G1, packed, scal, c=c, nbits=16,
 assert res3.normalize() == expect.normalize(), "grid fast-path mismatch"
 assert any("rerunning" in m for m in records), "grid path flag missed"
 print("grid fast path collision rerun OK")
+
+# adversarial structured scalars: ALL equal -> every live digit lands in
+# ONE bucket (occupancy n, far outside the Poisson model).  The bands path
+# dispatches optimistically under the model bands, must then DISCARD those
+# results on the coverage check and recompute with exact per-run bands —
+# the answer must still be exact (msm_v2 optimistic-dispatch fallback).
+records.clear()
+scal4 = [12345] * n
+res4 = msm_v2.msm_device_scheduled(bls.G1, packed2, scal4, c=c, nbits=16)
+expect4 = G.mul_raw(sum(12345 * a for a in dlogs2) % bls.R)
+assert res4.normalize() == expect4.normalize(), "escape-path MSM mismatch"
+assert any("outside the Poisson model" in m for m in records), \
+    f"structured scalars did not escape the model: {records}"
+print("model-escape exact-bands fallback OK")
 """
 
 
@@ -326,5 +340,5 @@ def test_fast_path_collision_rerun_interpret_mode():
                          capture_output=True, text=True, timeout=1800,
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
-    assert "grid fast path collision rerun OK" in out.stdout, \
+    assert "model-escape exact-bands fallback OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
