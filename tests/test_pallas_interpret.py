@@ -314,21 +314,57 @@ res3 = msm_v2.msm_device_scheduled(bls.G1, packed, scal, c=c, nbits=16,
 assert res3.normalize() == expect.normalize(), "grid fast-path mismatch"
 assert any("rerunning" in m for m in records), "grid path flag missed"
 print("grid fast path collision rerun OK")
+"""
+
+SCRIPT_ESCAPE = r"""
+import os
+os.environ["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+os.environ["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import logging
+import random
+from crypto_tpu.curves import bls12_381 as bls
+from crypto_tpu.curves.jcurve import jcurve_for
+from crypto_tpu.ops import msm_v2
+
+rng = random.Random(31)
+jc = jcurve_for(bls.G1)
+G = bls.G1.generator()
+n, c = 16, 8
+records = []
+h = logging.Handler()
+h.emit = lambda rec: records.append(rec.getMessage())
+logging.getLogger("crypto_tpu.msm").addHandler(h)
 
 # adversarial structured scalars: ALL equal -> every live digit lands in
 # ONE bucket (occupancy n, far outside the Poisson model).  The bands path
 # dispatches optimistically under the model bands, must then DISCARD those
 # results on the coverage check and recompute with exact per-run bands —
 # the answer must still be exact (msm_v2 optimistic-dispatch fallback).
-records.clear()
-scal4 = [12345] * n
-res4 = msm_v2.msm_device_scheduled(bls.G1, packed2, scal4, c=c, nbits=16)
-expect4 = G.mul_raw(sum(12345 * a for a in dlogs2) % bls.R)
-assert res4.normalize() == expect4.normalize(), "escape-path MSM mismatch"
+dlogs = [rng.randrange(1, 1 << 40) for _ in range(n)]
+pts = [(G.mul_raw(a)).normalize() for a in dlogs]
+packed = jc.pack_points(pts)
+scal = [12345] * n
+res = msm_v2.msm_device_scheduled(bls.G1, packed, scal, c=c, nbits=16)
+expect = G.mul_raw(sum(12345 * a for a in dlogs) % bls.R)
+assert res.normalize() == expect.normalize(), "escape-path MSM mismatch"
 assert any("outside the Poisson model" in m for m in records), \
     f"structured scalars did not escape the model: {records}"
 print("model-escape exact-bands fallback OK")
 """
+
+
+@pytest.mark.slow
+def test_model_escape_exact_bands_interpret_mode():
+    env = dict(os.environ)
+    env["CRYPTO_TPU_PALLAS_INTERPRET"] = "1"
+    env["CRYPTO_TPU_FORCE_TPU_MSM"] = "1"
+    out = subprocess.run([sys.executable, "-c", SCRIPT_ESCAPE], env=env,
+                         capture_output=True, text=True, timeout=1800,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "model-escape exact-bands fallback OK" in out.stdout, \
+        out.stderr[-3000:] + out.stdout[-500:]
 
 
 @pytest.mark.slow
@@ -340,5 +376,5 @@ def test_fast_path_collision_rerun_interpret_mode():
                          capture_output=True, text=True, timeout=1800,
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
-    assert "model-escape exact-bands fallback OK" in out.stdout, \
+    assert "grid fast path collision rerun OK" in out.stdout, \
         out.stderr[-3000:] + out.stdout[-500:]
